@@ -1,0 +1,112 @@
+"""Rendering losses.
+
+Replaces nerfstudio's interlevel_loss / distortion_loss (imported by the
+reference at models/model_wrapper.py:12,138-139) and the DS-NeRF depth loss
+(utils/loss_utils.py:9-35). All pure functions over normalized spacing bins
+(sdist in [0, 1]) and per-sample weights.
+
+TPU notes: distortion uses the O(S) cumsum form (equivalent to the O(S^2)
+pairwise mip-NeRF 360 eq. 15 — property-tested in tests/test_losses.py); the
+interlevel outer measure uses the same fused compare-reduce searchsorted as
+ops/pdf.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .pdf import searchsorted_right
+
+
+def outer_measure(t0: jax.Array, t1: jax.Array, y1: jax.Array) -> jax.Array:
+    """Sum of `y1` mass (over bins t1) covered by each bin of t0.
+
+    t0: [..., S0+1] query bin edges; t1: [..., S1+1] source bin edges;
+    y1: [..., S1] source bin mass. Returns [..., S0].
+    """
+    cy1 = jnp.concatenate(
+        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
+    )  # [..., S1+1]
+
+    idx_lo = searchsorted_right(t1[..., :-1], t0[..., :-1]) - 1
+    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
+    idx_hi = searchsorted_right(t1[..., 1:], t0[..., 1:])
+    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
+
+    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
+    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    return cy1_hi - cy1_lo
+
+
+def lossfun_outer(t, w, t_env, w_env, eps: float = 1.1920929e-07):
+    """Proposal (interlevel) loss: penalize final weights exceeding the
+    proposal envelope (mip-NeRF 360 eq. 13)."""
+    w_outer = outer_measure(t, t_env, w_env)
+    return jnp.clip(w - w_outer, 0.0) ** 2 / (w + eps)
+
+
+def interlevel_loss(sdist_list, weights_list) -> jax.Array:
+    """Mean proposal loss over all proposal levels vs the (detached) final
+    level. sdist_list[i]: [..., S_i+1] spacing edges; weights_list[i]:
+    [..., S_i, 1]."""
+    c = jax.lax.stop_gradient(sdist_list[-1])
+    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
+    loss = 0.0
+    for sdist, weights in zip(sdist_list[:-1], weights_list[:-1]):
+        loss = loss + jnp.mean(lossfun_outer(c, w, sdist, weights[..., 0]))
+    return loss
+
+
+def lossfun_distortion(t: jax.Array, w: jax.Array) -> jax.Array:
+    """mip-NeRF 360 distortion of the final level, O(S) cumsum form.
+
+    t: [..., S+1] spacing edges; w: [..., S] weights. Returns [...].
+    loss = sum_ij w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 (t_{i+1} - t_i)
+    where m are bin midpoints. The pairwise term equals
+    2 * sum_i w_i * (m_i * cum_{j<i} w_j - cum_{j<i}(w_j m_j)).
+    """
+    m = (t[..., 1:] + t[..., :-1]) / 2.0
+    cw = jnp.cumsum(w, axis=-1)
+    cwm = jnp.cumsum(w * m, axis=-1)
+    # exclusive prefix sums
+    cw_excl = cw - w
+    cwm_excl = cwm - w * m
+    loss_inter = 2.0 * jnp.sum(w * (m * cw_excl - cwm_excl), axis=-1)
+    loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
+    return loss_inter + loss_intra
+
+
+def distortion_loss(sdist_list, weights_list) -> jax.Array:
+    """Mean distortion of the final sampling level (nerfstudio semantics)."""
+    return jnp.mean(lossfun_distortion(sdist_list[-1], weights_list[-1][..., 0]))
+
+
+def ds_nerf_depth_loss(
+    weights: jax.Array,
+    termination_depth: jax.Array,
+    steps: jax.Array,
+    lengths: jax.Array,
+    sigma: jax.Array,
+    eps: float = 1.0e-7,
+) -> jax.Array:
+    """Depth-supervised NeRF loss (reference utils/loss_utils.py:9-35).
+
+    weights/steps/lengths: [..., S, 1]; termination_depth: [..., 1];
+    rays with depth <= 0 are masked out.
+    """
+    depth_mask = termination_depth > 0
+    loss = (
+        -jnp.log(weights + eps)
+        * jnp.exp(-((steps - termination_depth[..., None, :]) ** 2) / (2 * sigma))
+        * lengths
+    )
+    loss = jnp.sum(loss, axis=-2) * depth_mask
+    return jnp.mean(loss)
+
+
+def masked_mse(pred: jax.Array, target: jax.Array, mask=None) -> jax.Array:
+    """MSE, optionally masked per-ray (model_wrapper.py:148-159)."""
+    err = (pred - target) ** 2
+    if mask is None:
+        return jnp.mean(err)
+    err = err * mask[..., None]
+    return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
