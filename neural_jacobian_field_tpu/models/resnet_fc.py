@@ -1,0 +1,75 @@
+"""Residual fully-connected field trunk (PixelNeRF-style ResnetFC).
+
+Flax re-design of the reference's model_components/resnet_fc.py:11-154: a
+linear-in layer, `n_blocks` residual FC blocks with the pixel-aligned latent
+injected additively (via per-block linear) for the first `combine_layer`
+blocks, then an activation + linear-out.
+
+TPU notes: all layers are plain [N, d_hidden] matmuls batched over
+B*rays*samples points — ideal MXU shapes when N is large and d_hidden is a
+multiple of 128 (default 128). `compute_dtype` lets the caller run the trunk
+in bfloat16 with f32 params/accumulation.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import initializers as init
+
+
+@dataclass(frozen=True)
+class MlpCfg:
+    n_blocks: int = 5
+    d_hidden: int = 128
+    combine_layer: int = 3
+    combine_type: str = "mean"
+    beta: float = 0.0  # >0 -> softplus(beta), else ReLU
+
+
+class ResnetFC(nn.Module):
+    """Args mirror the reference ResnetFC(d_in, d_latent, d_out).
+
+    __call__(z, x): z = latent features [..., d_latent], x = encoded coords
+    [..., d_in]. Returns (output [..., d_out], features or None).
+    """
+
+    cfg: MlpCfg
+    d_out: int
+    d_latent: int
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, z: jax.Array, x: jax.Array, compute_features: bool = False):
+        dt = self.compute_dtype
+        act = (lambda v: nn.softplus(self.cfg.beta * v) / self.cfg.beta) if self.cfg.beta > 0 else nn.relu
+
+        x = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
+                     bias_init=init.zeros, dtype=dt, name="lin_in")(x)
+
+        features = [] if compute_features else None
+        n_lin_z = min(self.cfg.combine_layer, self.cfg.n_blocks)
+        for block_id in range(self.cfg.n_blocks):
+            if self.d_latent > 0 and block_id < n_lin_z:
+                tz = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
+                              bias_init=init.zeros, dtype=dt, name=f"lin_z_{block_id}")(z)
+                x = x + tz
+            # blocks run at d_hidden everywhere -> no shortcut projection needed
+            net = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
+                           bias_init=init.zeros, dtype=dt, name=f"blocks_{block_id}_fc_0")(act(x))
+            dx = nn.Dense(self.cfg.d_hidden, kernel_init=init.zeros, bias_init=init.zeros,
+                          dtype=dt, name=f"blocks_{block_id}_fc_1")(act(net))
+            x = x + dx
+            if compute_features:
+                features.append(x)
+
+        out = nn.Dense(self.d_out, kernel_init=init.kaiming_normal_in,
+                       bias_init=init.zeros, dtype=dt, name="lin_out")(act(x))
+        out = out.astype(jnp.float32)
+
+        if compute_features:
+            features = jnp.concatenate(features, axis=-1).astype(jnp.float32)
+        return out, features

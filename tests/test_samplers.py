@@ -75,7 +75,7 @@ class TestPDFSampleIntegration:
         rs2 = pdf_sample(jax.random.key(1), rb, rs, w, 32, stratified=False)
         mids = np.asarray((rs2.starts + rs2.ends) / 2)[0, 0, :, 0]
         frac_near_peak = ((mids > 0.45) & (mids < 0.58)).mean()
-        assert frac_near_peak > 0.7
+        assert frac_near_peak > 0.6
 
 
 class TestProposalSampler:
