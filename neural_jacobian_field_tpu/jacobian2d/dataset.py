@@ -1,0 +1,159 @@
+"""2D trajectory datasets (gzip-pickle Trajectory files, NumPy).
+
+Re-implements jacobian/dataset/: `Trajectory{seq_rgb_obs, seq_qpos,
+seq_flow_obs}` gzip pickles (types.py:10-16), per-frame random sampling with
+qpos min-max normalization and `action_scale * delta-qpos` commands
+(pusher_dataset.py:23-134), the planar-hand variant with flow resizing
+(planar_hand_dataset.py:24-153), and a synthetic trajectory writer for tests
+(replacing the MuJoCo sim the reference generates data with).
+
+Layouts are NHWC: rgb [T, H, W, 3] float in [0,1]; flow [T, H, W, 2].
+(The reference stores flow as [T, 2, H, W]; the loader transposes.)
+"""
+
+import gzip
+import pickle
+import random
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def load_gzip_file(path):
+    """jacobian/utils/io.py load_gzip_file."""
+    with gzip.open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_gzip_file(path, obj):
+    with gzip.open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+@dataclass
+class Dataset2DCfg:
+    """pusher_dataset.py:17-20 / planar_hand_dataset.py."""
+
+    name: str = "pusher"
+    root: Path = Path(".")
+    command_dim: int = 2
+    action_scale: float = 4.0
+    # qpos min-max normalization bounds (pusher_dataset.py:30-33)
+    min_qpos: Optional[np.ndarray] = None
+    max_qpos: Optional[np.ndarray] = None
+
+
+_DEFAULT_BOUNDS = {
+    "pusher": (np.array([-1.7, -1.09], np.float32), np.array([0.4, 1.0], np.float32)),
+    # planar hand: 4 joints in [-1, 1] (planar_hand_dataset.py)
+    "planar_hand": (np.full(4, -1.0, np.float32), np.full(4, 1.0, np.float32)),
+}
+
+
+class Dataset2D:
+    """Map-style dataset of (frame, command, flow) samples."""
+
+    repeat: int = 100000
+
+    def __init__(self, cfg: Dataset2DCfg, stage: str = "train"):
+        self.cfg = cfg
+        self.stage = stage
+        self.trajectory_paths = sorted(Path(cfg.root, stage).glob("*.pkl"))
+        if cfg.min_qpos is None or cfg.max_qpos is None:
+            lo, hi = _DEFAULT_BOUNDS.get(cfg.name, (None, None))
+            self.min_qpos = lo if cfg.min_qpos is None else cfg.min_qpos
+            self.max_qpos = hi if cfg.max_qpos is None else cfg.max_qpos
+        else:
+            self.min_qpos, self.max_qpos = cfg.min_qpos, cfg.max_qpos
+
+    @property
+    def num_files(self) -> int:
+        return len(self.trajectory_paths)
+
+    def __len__(self) -> int:
+        return self.num_files * (self.repeat if self.stage == "train" else 1)
+
+    def _load(self, idx) -> Dict[str, np.ndarray]:
+        traj = load_gzip_file(self.trajectory_paths[idx % self.num_files])
+        rgb = np.asarray(traj["seq_rgb_obs"], np.float32)
+        if rgb.max() > 1.5:  # uint8 storage
+            rgb = rgb / 255.0
+        flow = np.asarray(traj["seq_flow_obs"], np.float32)
+        if flow.ndim == 4 and flow.shape[1] == 2 and flow.shape[-1] != 2:
+            flow = flow.transpose(0, 2, 3, 1)  # [T, 2, H, W] -> [T, H, W, 2]
+        qpos = np.asarray(traj["seq_qpos"], np.float32)[:, : self.cfg.command_dim]
+        qpos = (qpos - self.min_qpos) / (self.max_qpos - self.min_qpos)
+        return {"rgb": rgb, "flow": flow, "qpos": qpos}
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Training item: one random frame (pusher_dataset.py:65-101)."""
+        traj = self._load(idx)
+        t = random.randint(0, len(traj["rgb"]) - 2)
+        cmd = self.cfg.action_scale * (traj["qpos"][t + 1] - traj["qpos"][t])
+        return {
+            "input_frame_curr": traj["rgb"][t],
+            "input_frame_next": traj["rgb"][t + 1],
+            "input_command": cmd.astype(np.float32),
+            "trgt_flow_curr": traj["flow"][t],
+        }
+
+    def get_val_item(self, idx: int) -> Dict[str, np.ndarray]:
+        """Whole-trajectory validation item (pusher_dataset.py:103-134)."""
+        traj = self._load(idx)
+        cmds = self.cfg.action_scale * (traj["qpos"][1:] - traj["qpos"][:-1])
+        return {
+            "input_video_sequence": traj["rgb"],
+            "input_command_sequence": cmds.astype(np.float32),
+            "trgt_flow_sequence": traj["flow"],
+        }
+
+
+def collate_2d(items: List[dict]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def make_synthetic_trajectories(
+    root, num_trajs: int = 4, num_steps: int = 6, height: int = 32,
+    width: int = 32, command_dim: int = 2, seed: int = 0, stage: str = "train",
+) -> Path:
+    """Synthetic 2D pusher stand-in: a bright square whose position IS the
+    qpos; flow is the square's rigid pixel displacement. Ground-truth Jacobian
+    is constant on the square (= gain) and zero elsewhere — the analog of the
+    MuJoCo data-gen in tutorial notebook 1."""
+    root = Path(root)
+    (root / stage).mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    gain = np.array([width * 0.25, height * 0.25], np.float32)
+    half = 4
+
+    def render(q):
+        cx = int((q[0] * 0.5 + 0.5) * (width - 2 * half)) + half
+        cy = int((q[1 % len(q)] * 0.5 + 0.5) * (height - 2 * half)) + half
+        img = np.zeros((height, width, 3), np.float32)
+        img[...] = 0.15
+        img[cy - half:cy + half, cx - half:cx + half] = [0.9, 0.4, 0.2]
+        mask = np.zeros((height, width), bool)
+        mask[cy - half:cy + half, cx - half:cx + half] = True
+        return img, mask, np.array([cx, cy], np.float32)
+
+    for traj_idx in range(num_trajs):
+        q = rng.uniform(-0.6, 0.6, command_dim)
+        rgbs, flows, qposs = [], [], []
+        for _ in range(num_steps):
+            img, mask, c0 = render(q)
+            q_next = np.clip(q + rng.normal(0, 0.12, command_dim), -0.8, 0.8)
+            _, _, c1 = render(q_next)
+            flow = np.zeros((height, width, 2), np.float32)
+            flow[mask] = c1 - c0
+            rgbs.append(img)
+            flows.append(flow)
+            qposs.append(q.copy())
+            q = q_next
+        save_gzip_file(root / stage / f"{traj_idx:05d}.pkl", {
+            "seq_rgb_obs": np.stack(rgbs),
+            "seq_qpos": np.stack(qposs).astype(np.float32),
+            "seq_flow_obs": np.stack(flows),
+        })
+    return root

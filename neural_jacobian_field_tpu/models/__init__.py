@@ -19,5 +19,9 @@ from .model import (
     RobotInput,
     ModelInput,
     ModelTarget,
+    ModelOutput,
+    ModelInferenceEncoding,
     StepCtx,
+    step_schedules,
+    make_model_cfg,
 )

@@ -1,0 +1,160 @@
+"""PixelNeRF-style ResNet-34 feature-pyramid encoder (Flax, NHWC).
+
+Re-design of the reference's models/encoder/encoder_resnet.py:15-89 +
+model_components/get_norm_layer.py:6-27: a ResNet-34 trunk whose
+conv1/layer1..layer{num_layers-1} activations are all bilinearly upsampled to
+conv1's resolution (H/2, W/2) and concatenated channel-wise (512 channels at
+num_layers=4).
+
+TPU notes:
+  - NHWC layout end to end (XLA's native conv layout on TPU; avoids the
+    transposes a torch NCHW port would bake in).
+  - Convs run on the MXU; `compute_dtype=bfloat16` halves HBM traffic with
+    f32 params.
+  - Norm options mirror the reference: "batch" (mutable running stats under
+    the `batch_stats` collection), "instance" (no affine), "group" (32
+    groups), "none". GroupNorm is the recommended choice under pjit — no
+    cross-device stat sync needed (SURVEY.md §7 hard part (b)).
+"""
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from . import initializers as init
+
+
+@dataclass(frozen=True)
+class EncoderResnetCfg:
+    name: str = "resnet"
+    upsample_interp: str = "bilinear"
+    num_layers: int = 4
+    use_first_pool: bool = True
+    norm_type: str = "group"  # batch | instance | group | none
+
+
+# ResNet-34 stage spec: (num_blocks, channels) per layer.
+_RESNET34_STAGES: Sequence = ((3, 64), (4, 128), (6, 256), (3, 512))
+
+
+def _norm(norm_type: str, dtype, name: str):
+    if norm_type == "batch":
+        # use_running_average is bound by the caller via `train` kwarg.
+        return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5,
+                            dtype=dtype, name=name)
+    if norm_type == "instance":
+        # torch InstanceNorm2d(affine=False): normalize over H, W per channel.
+        return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
+                            use_bias=False, use_scale=False, dtype=dtype, name=name)
+    if norm_type == "group":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+    if norm_type == "none":
+        return None
+    raise ValueError(f"unknown norm_type: {norm_type}")
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block (two 3x3 convs + identity/projection shortcut)."""
+
+    channels: int
+    strides: int
+    norm_type: str
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+        needs_proj = self.strides != 1 or x.shape[-1] != self.channels
+
+        def norm(name):
+            layer = _norm(self.norm_type, dt, name)
+            if layer is None:
+                return lambda v: v
+            if self.norm_type == "batch":
+                return lambda v: layer(v, use_running_average=not train)
+            return layer
+
+        residual = x
+        y = nn.Conv(self.channels, (3, 3), strides=self.strides, padding=1,
+                    use_bias=False, kernel_init=init.kaiming_normal_out,
+                    dtype=dt, name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), strides=1, padding=1, use_bias=False,
+                    kernel_init=init.kaiming_normal_out, dtype=dt, name="conv2")(y)
+        y = norm("bn2")(y)
+
+        if needs_proj:
+            residual = nn.Conv(self.channels, (1, 1), strides=self.strides,
+                               use_bias=False, kernel_init=init.kaiming_normal_out,
+                               dtype=dt, name="downsample_conv")(x)
+            down_norm = norm("downsample_norm")
+            residual = down_norm(residual)
+
+        return nn.relu(y + residual)
+
+
+class EncoderResnet(nn.Module):
+    """ResNet-34 multi-scale feature extractor.
+
+    __call__(rgb [B, H, W, 3]) -> [B, H/2, W/2, C_total] feature map.
+    C_total = 64 + sum of stage channels for stages < num_layers.
+    """
+
+    cfg: EncoderResnetCfg
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @staticmethod
+    def output_dim(cfg: EncoderResnetCfg) -> int:
+        dims = 64
+        for i in range(cfg.num_layers - 1):
+            dims += _RESNET34_STAGES[i][1]
+        return dims
+
+    @nn.compact
+    def __call__(self, rgb: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        dt = self.compute_dtype
+        x = rgb.astype(dt) if dt is not None else rgb
+
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    kernel_init=init.kaiming_normal_out, dtype=dt, name="conv1")(x)
+        norm1 = _norm(cfg.norm_type, dt, "bn1")
+        if norm1 is not None:
+            x = norm1(x, use_running_average=not train) if cfg.norm_type == "batch" else norm1(x)
+        x = nn.relu(x)
+
+        latents = [x]
+        for stage_idx in range(cfg.num_layers - 1):
+            num_blocks, channels = _RESNET34_STAGES[stage_idx]
+            if stage_idx == 0:
+                if cfg.use_first_pool:
+                    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+                strides = 1
+            else:
+                strides = 2
+            for block_idx in range(num_blocks):
+                x = BasicBlock(
+                    channels=channels,
+                    strides=strides if block_idx == 0 else 1,
+                    norm_type=cfg.norm_type,
+                    compute_dtype=dt,
+                    name=f"layer{stage_idx + 1}_block{block_idx}",
+                )(x, train=train)
+            latents.append(x)
+
+        # Upsample everything to conv1 resolution and concatenate
+        # (encoder_resnet.py:78-86; bilinear align_corners=False ==
+        # jax.image.resize "linear").
+        target_hw = latents[0].shape[1:3]
+        resized = [latents[0]]
+        for lat in latents[1:]:
+            resized.append(
+                jax.image.resize(
+                    lat, (lat.shape[0], *target_hw, lat.shape[-1]), method="linear"
+                )
+            )
+        return jnp.concatenate(resized, axis=-1).astype(jnp.float32)

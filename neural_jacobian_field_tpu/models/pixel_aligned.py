@@ -1,0 +1,51 @@
+"""Pixel-aligned feature projection.
+
+Replaces the reference's model_components/pixel_aligned_features.py:11-35:
+project world points into the context camera (world2cam, intrinsics z-divide),
+map normalized [0,1] pixel coords to [-1,1], bilinearly sample the feature map
+(align_corners=True, border padding), and return (features, camera-space xyz,
+normalized uv).
+
+TPU design: the feature map is NHWC (channels-last — the native TPU layout)
+and the bilinear lookup is the fused gather+lerp in ops/grid_sample.py; the
+projection matmuls are tiny and fuse into the surrounding graph.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import grid_sample_bilinear
+from ..rendering.geometry import (
+    homogenize_points,
+    project_z_divide,
+    transform_world2cam,
+)
+
+
+def get_pixel_aligned_features(
+    coords_3d_world: jax.Array,
+    cam2world: jax.Array,
+    intrinsics: jax.Array,
+    img_features: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Args:
+      coords_3d_world: [B, N, 3] world points.
+      cam2world: [B, 4, 4] context camera pose (OpenCV cam-to-world).
+      intrinsics: [B, 3, 3] *normalized* intrinsics (pixels in [0, 1]).
+      img_features: [B, Hf, Wf, C] context feature map (NHWC).
+
+    Returns:
+      features [B, N, C], camera-space xyz [B, N, 3], uv [B, N, 3]
+      (normalized homogeneous pixel coords, matching the reference's return).
+    """
+    c3d_world_hom = homogenize_points(coords_3d_world)
+    c3d_cam_hom = transform_world2cam(c3d_world_hom, cam2world[:, None])
+    c2d_cam, _ = project_z_divide(c3d_cam_hom, intrinsics[:, None])
+
+    # [0, 1] -> [-1, 1] for the align_corners=True bilinear lookup.
+    c2d_norm = (c2d_cam[..., :2] - 0.5) * 2.0
+    feats = grid_sample_bilinear(img_features, c2d_norm)
+
+    return feats, c3d_cam_hom[..., :3], c2d_cam

@@ -41,33 +41,44 @@ class ResnetFC(nn.Module):
     d_out: int
     d_latent: int
     compute_dtype: Optional[jnp.dtype] = None
+    # When set, every linear uses these initializers instead of the defaults —
+    # the reference's `initialize_jacobian_weights` applies N(0, 1e-4) to all
+    # linears of the jacobian/flow heads (action_decoder_jacobian.py:77-84).
+    kernel_override: Optional[callable] = None
+    bias_override: Optional[callable] = None
 
     @nn.compact
     def __call__(self, z: jax.Array, x: jax.Array, compute_features: bool = False):
         dt = self.compute_dtype
         act = (lambda v: nn.softplus(self.cfg.beta * v) / self.cfg.beta) if self.cfg.beta > 0 else nn.relu
 
-        x = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
-                     bias_init=init.zeros, dtype=dt, name="lin_in")(x)
+        def kinit(default):
+            return self.kernel_override if self.kernel_override is not None else default
+
+        def binit(default):
+            return self.bias_override if self.bias_override is not None else default
+
+        x = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),
+                     bias_init=binit(init.zeros), dtype=dt, name="lin_in")(x)
 
         features = [] if compute_features else None
         n_lin_z = min(self.cfg.combine_layer, self.cfg.n_blocks)
         for block_id in range(self.cfg.n_blocks):
             if self.d_latent > 0 and block_id < n_lin_z:
-                tz = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
-                              bias_init=init.zeros, dtype=dt, name=f"lin_z_{block_id}")(z)
+                tz = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),
+                              bias_init=binit(init.zeros), dtype=dt, name=f"lin_z_{block_id}")(z)
                 x = x + tz
             # blocks run at d_hidden everywhere -> no shortcut projection needed
-            net = nn.Dense(self.cfg.d_hidden, kernel_init=init.kaiming_normal_in,
-                           bias_init=init.zeros, dtype=dt, name=f"blocks_{block_id}_fc_0")(act(x))
-            dx = nn.Dense(self.cfg.d_hidden, kernel_init=init.zeros, bias_init=init.zeros,
+            net = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),
+                           bias_init=binit(init.zeros), dtype=dt, name=f"blocks_{block_id}_fc_0")(act(x))
+            dx = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.zeros), bias_init=binit(init.zeros),
                           dtype=dt, name=f"blocks_{block_id}_fc_1")(act(net))
             x = x + dx
             if compute_features:
                 features.append(x)
 
-        out = nn.Dense(self.d_out, kernel_init=init.kaiming_normal_in,
-                       bias_init=init.zeros, dtype=dt, name="lin_out")(act(x))
+        out = nn.Dense(self.d_out, kernel_init=kinit(init.kaiming_normal_in),
+                       bias_init=binit(init.zeros), dtype=dt, name="lin_out")(act(x))
         out = out.astype(jnp.float32)
 
         if compute_features:

@@ -95,6 +95,14 @@ def sdist_edges(ray_samples: RaySamples) -> jax.Array:
     )
 
 
+def tdist_edges(ray_samples: RaySamples) -> jax.Array:
+    """Euclidean bin edges [B, R, S+1] (starts ++ last end) — used by the DS
+    depth loss, which needs per-level steps/lengths (model_wrapper.py:127-137)."""
+    return jnp.concatenate(
+        [ray_samples.starts[..., 0], ray_samples.ends[..., -1:, 0]], axis=-1
+    )
+
+
 def _from_spacing_bins(ray_bundle: RayBundle, bins: jax.Array, kind: SpacingKind,
                        s_near: jax.Array, s_far: jax.Array) -> RaySamples:
     euclidean = spacing_fn_inv(kind, bins * s_far + (1 - bins) * s_near)

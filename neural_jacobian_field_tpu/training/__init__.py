@@ -1,0 +1,10 @@
+from .prepare import RawBatch, prepare_training_batch
+from .losses import perception_loss, action_loss, LossCfg
+from .train import (
+    TrainState,
+    TrainCfg,
+    make_optimizer,
+    trainable_mask,
+    create_train_state,
+    make_train_step,
+)

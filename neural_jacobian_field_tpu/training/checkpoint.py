@@ -1,0 +1,64 @@
+"""Checkpointing with two-stage warm-start semantics (orbax).
+
+Replaces the reference's wandb-artifact checkpoint stack (utils/
+wandb_logger.py:84-131, wandb_ckpt.py:13-71, train.py:54-58,
+model_wrapper.py:553-573):
+  - periodic full-state saves (params + opt state + step + counters),
+    keeping the last `max_to_keep`;
+  - `load_params_only` restores weights with a FRESH optimizer ("so that
+    optimization restarts") tolerating missing/extra/mismatched keys — the
+    load-bearing path for stage-2 warm starts from stage-1 checkpoints.
+"""
+
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .train import TrainState, merge_compatible_params
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep: int = 3,
+                 save_interval_steps: int = 5000):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.save_interval_steps = save_interval_steps
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+            ),
+        )
+
+    def maybe_save(self, state: TrainState) -> bool:
+        step = int(state.step)
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(state))
+        return bool(saved)
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        step = self._mgr.latest_step() if step is None else step
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def close(self):
+        self._mgr.close()
+
+
+def load_params_only(path, template_params, step: Optional[int] = None):
+    """Restore only params from a checkpoint dir, shape-tolerantly merged into
+    `template_params` (train.py:54-58 + model_wrapper.py:553-573 semantics)."""
+    path = Path(path).absolute()
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step() if step is None else step
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    loaded = restored["params"] if isinstance(restored, dict) else restored.params
+    return merge_compatible_params(template_params, loaded)

@@ -1,0 +1,186 @@
+"""Train state, optimizer, and the jitted SPMD train step.
+
+Replaces the reference's PyTorch-Lightning plumbing (model_wrapper.py:87-105
+configure_optimizers; 75-85 freeze_parameters; train.py:67-79 DDP) with:
+  - optax Adam + weight decay 1e-5 + linear warmup (lr/warmup -> lr);
+  - stage-2 freezing as an optax.multi_transform mask over param-path
+    substrings (no `find_unused_parameters` machinery — XLA sees a static
+    graph and frozen params simply get zero updates);
+  - ONE jitted train step: batch prep + forward + losses + grads + update.
+    Data parallelism comes from sharding the batch leaves over a
+    `jax.sharding.Mesh` "data" axis — jit inserts the gradient psums
+    (SURVEY.md §2.5 TPU-native plan).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import flax.struct
+import flax.traverse_util
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.decoders import action_param_pattern
+from ..models.model import Model, ModelInput, StepCtx, step_schedules
+from .losses import LossCfg, action_loss, perception_loss
+from .prepare import RawBatch, prepare_training_batch
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    """training.optim + data knobs (configurations/config.yaml:18-23)."""
+
+    mode: str = "perception"  # perception | action
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    warm_up_steps: int = 10000
+    rays_per_batch: int = 256
+    loss: LossCfg = field(default_factory=LossCfg)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Optional[Any]
+    opt_state: Any
+    # proposal-sampler update counter (ray_samplers.py:492-495)
+    steps_since_update: jax.Array
+
+
+def trainable_mask(params, mode: str, action_decoder_cfg) -> Any:
+    """Pytree of {'trainable','frozen'} labels.
+
+    Stage 2 ("action") trains ONLY decoder params whose path contains the
+    decoder's action pattern (model_wrapper.py:75-85 +
+    action_decoder_jacobian.py:251-258); everything else is frozen.
+    """
+    flat = flax.traverse_util.flatten_dict(params)
+    if mode == "action":
+        pattern = action_param_pattern(action_decoder_cfg)
+        labels = {
+            k: ("trainable" if (k[0] == "decoder" and any(pattern in part for part in k))
+                else "frozen")
+            for k in flat
+        }
+    else:
+        labels = {k: "trainable" for k in flat}
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def make_optimizer(cfg: TrainCfg, params=None, action_decoder_cfg=None):
+    """Adam(lr, wd=1e-5) + LinearLR(1/warmup -> 1) (model_wrapper.py:87-105).
+
+    torch.optim.Adam's weight_decay adds wd*param to the gradient BEFORE the
+    moment updates — optax ordering: add_decayed_weights -> scale_by_adam.
+    """
+    schedule = optax.linear_schedule(
+        init_value=cfg.lr / cfg.warm_up_steps, end_value=cfg.lr,
+        transition_steps=cfg.warm_up_steps,
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+    if cfg.mode == "action":
+        assert params is not None and action_decoder_cfg is not None
+        labels = trainable_mask(params, cfg.mode, action_decoder_cfg)
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def create_train_state(key: jax.Array, model: Model, sample_batch: RawBatch,
+                       cfg: TrainCfg, init_params=None, init_batch_stats=None) -> TrainState:
+    """Initialize params + optimizer. `init_params` warm-starts stage 2 from
+    stage-1 weights with a FRESH optimizer state (train.py:54-58 semantics —
+    "so that optimization restarts")."""
+    k_init, k_prep, k_samp = jax.random.split(key, 3)
+    mi, _ = prepare_training_batch(k_prep, sample_batch, cfg.rays_per_batch, mode="perception")
+    ctx = StepCtx(key=k_samp, anneal=jnp.asarray(1.0), updated=jnp.asarray(True))
+    variables = model.init(k_init, mi, ctx, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    if init_params is not None:
+        params = merge_compatible_params(params, init_params)
+        if init_batch_stats is not None:
+            batch_stats = init_batch_stats
+    tx = make_optimizer(cfg, params, model.cfg.action_decoder)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        steps_since_update=jnp.asarray(0, jnp.int32),
+    )
+
+
+def merge_compatible_params(template, loaded):
+    """Shape-tolerant warm start: keep `loaded` entries whose path+shape match
+    `template`, skip the rest (model_wrapper.py:553-573 on_load_checkpoint)."""
+    flat_t = flax.traverse_util.flatten_dict(template)
+    flat_l = flax.traverse_util.flatten_dict(loaded)
+    merged = {}
+    for k, v in flat_t.items():
+        lv = flat_l.get(k)
+        if lv is not None and jnp.shape(lv) == jnp.shape(v):
+            merged[k] = lv
+        else:
+            merged[k] = v
+    return flax.traverse_util.unflatten_dict(merged)
+
+
+def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True):
+    """Build the jitted train step: (state, raw_batch, key) -> (state, metrics).
+
+    The returned fn is SPMD-ready: pass batch leaves sharded over a mesh
+    "data" axis and replicated params; XLA inserts the grad all-reduces.
+    """
+    rendering_cfg = model.cfg.rendering
+    mode = cfg.mode
+
+    def step_fn(state: TrainState, batch: RawBatch, key: jax.Array):
+        k_prep, k_samp = jax.random.split(key)
+        anneal, updated, new_ssu = step_schedules(
+            state.step, state.steps_since_update, rendering_cfg
+        )
+        mi, mt = prepare_training_batch(k_prep, batch, cfg.rays_per_batch, mode=mode)
+        ctx = StepCtx(key=k_samp, anneal=anneal, updated=updated)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                out, updates = model.apply(variables, mi, ctx, train=True,
+                                           mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, mi, ctx, train=True)
+                updates = {}
+            if mode == "perception":
+                loss, metrics = perception_loss(out, mt, cfg.loss)
+            else:
+                loss, metrics = action_loss(out, mt, cfg.loss)
+            return loss, (metrics, updates.get("batch_stats"))
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # Built at trace time: multi_transform labels depend only on the
+        # param-tree STRUCTURE, which is static under jit.
+        tx = make_optimizer(cfg, state.params, model.cfg.action_decoder)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs if state.batch_stats is not None else None,
+            opt_state=new_opt_state,
+            steps_since_update=new_ssu,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)

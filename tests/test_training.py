@@ -1,0 +1,144 @@
+"""Train-step tests: loss decreases, stage-2 freezing, SPMD over the 8-device
+CPU mesh (the reference is untested here — SURVEY.md §4; we encode
+model_wrapper.py:75-105,107-188 semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.traverse_util
+import pytest
+
+from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
+from neural_jacobian_field_tpu.models.model import Model, RenderingCfg, make_model_cfg
+from neural_jacobian_field_tpu.parallel import make_mesh, replicate, shard_batch
+from neural_jacobian_field_tpu.training import (
+    RawBatch,
+    TrainCfg,
+    create_train_state,
+    make_train_step,
+    prepare_training_batch,
+    trainable_mask,
+)
+
+ACTION_DIM = 4
+B, H, W = 2, 24, 24
+
+
+def tiny_model(decoder="jacobian_mlp"):
+    return Model(cfg=make_model_cfg(
+        decoder, action_dim=ACTION_DIM,
+        rendering=RenderingCfg(num_proposal_samples=(6,), num_nerf_samples=5,
+                               proposal_warmup=10, proposal_update_every=2),
+        encoder=EncoderResnetCfg(norm_type="group", num_layers=2),
+    ))
+
+
+def tiny_batch(key, batch=B, mode="perception", tracks=False):
+    ks = jax.random.split(key, 6)
+    c2w = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+    intr = jnp.broadcast_to(
+        jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]]), (batch, 3, 3)
+    )
+    raw = RawBatch(
+        ctxt_rgb=jax.random.uniform(ks[0], (batch, H, W, 3)),
+        ctxt_extrinsics=c2w, ctxt_intrinsics=intr,
+        robot_action=jax.random.normal(ks[1], (batch, ACTION_DIM)) * 0.3,
+        trgt_rgb=jax.random.uniform(ks[2], (batch, H, W, 3)),
+        trgt_depth=jax.random.uniform(ks[3], (batch, H, W, 1), minval=1.0, maxval=5.0),
+        trgt_extrinsics=c2w, trgt_intrinsics=intr,
+        near=jnp.full((batch,), 0.5), far=jnp.full((batch,), 10.0),
+    )
+    if mode == "action":
+        if tracks:
+            n = 16
+            raw = raw.replace(
+                pixel_selector=jax.random.randint(ks[4], (batch, n), 0, H * W),
+                pixel_motion=jax.random.normal(ks[5], (batch, n, 2)),
+                pixel_visible_mask=jnp.ones((batch, n)),
+            )
+        else:
+            raw = raw.replace(flow=jax.random.normal(ks[4], (batch, H, W, 2)))
+    return raw
+
+
+def test_prepare_training_batch_shapes():
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    mi, mt = prepare_training_batch(jax.random.PRNGKey(1), raw, 32)
+    assert mi.rendering_input.origins.shape == (B, 32, 3)
+    assert mt.rgb.shape == (B, 32, 3)
+    assert mt.depth.shape == (B, 32, 1)
+    # depth normalized by direction z <= 1 => normalized depth >= raw min
+    assert float(jnp.min(mt.depth)) > 0
+    # trgt intrinsics denormalized to pixels
+    assert float(mi.camera_input.trgt_intrinsics[0, 0, 0]) == pytest.approx(W)
+
+
+def test_perception_step_decreases_loss():
+    model = tiny_model()
+    cfg = TrainCfg(mode="perception", rays_per_batch=32, lr=1e-3, warm_up_steps=10)
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    step = make_train_step(model, cfg, donate=False)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, raw, jax.random.PRNGKey(100 + i))
+        losses.append(float(metrics["loss/rgb"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("tracks", [False, True])
+def test_action_step_trains_only_action_params(tracks):
+    model = tiny_model("jacobian_mlp")
+    raw = tiny_batch(jax.random.PRNGKey(0), mode="action", tracks=tracks)
+    cfg = TrainCfg(mode="action", rays_per_batch=32, lr=1e-2, warm_up_steps=2)
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    before = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, state.params))
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(3):
+        state, metrics = step(state, raw, jax.random.PRNGKey(7 + i))
+    assert np.isfinite(float(metrics["loss/flow"]))
+    after = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, state.params))
+    changed = {k for k in before if not np.allclose(before[k], after[k])}
+    assert changed, "action step must move jacobian params"
+    for k in changed:
+        assert k[0] == "decoder" and any("jacobian_head" in p for p in k), k
+    # at least the jacobian head's output layer moved
+    assert any("jacobian_head" in "/".join(k) for k in changed)
+
+
+def test_trainable_mask_transformer_pattern():
+    model = tiny_model("jacobian_transformer")
+    raw = tiny_batch(jax.random.PRNGKey(0), mode="action")
+    cfg = TrainCfg(mode="action", rays_per_batch=16)
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    labels = flax.traverse_util.flatten_dict(
+        trainable_mask(state.params, "action", model.cfg.action_decoder)
+    )
+    trainable = {"/".join(k) for k, v in labels.items() if v == "trainable"}
+    assert any("jacobian_index_embedding" in t for t in trainable)
+    assert any("jacobian_attn_decoder" in t for t in trainable)
+    assert any("jacobian_query_mlp" in t for t in trainable)
+    assert not any("density_head" in t for t in trainable)
+    assert not any(t.startswith("encoder") for t in trainable)
+
+
+def test_spmd_train_step_on_mesh():
+    """Data-parallel step over the virtual 8-device mesh: params replicated,
+    batch sharded, jit inserts the grad all-reduce."""
+    n = jax.device_count()
+    assert n >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh()
+    model = tiny_model()
+    cfg = TrainCfg(mode="perception", rays_per_batch=16, lr=1e-3, warm_up_steps=10)
+    raw = tiny_batch(jax.random.PRNGKey(0), batch=n)
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    state = replicate(state, mesh)
+    raw_sharded = shard_batch(raw, mesh)
+    step = make_train_step(model, cfg, donate=False)
+    state, metrics = step(state, raw_sharded, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss/total"]))
+    # params stay replicated after the update
+    p0 = jax.tree.leaves(state.params)[0]
+    assert p0.sharding.is_fully_replicated
