@@ -26,3 +26,10 @@ from .dataset import (
 )
 from .loader import DataLoader, collate
 from .synthetic import make_synthetic_scene
+from .augmentation import (
+    RandomBackground,
+    ZeroMaskPatchedImage,
+    get_random_image,
+    random_horizontal_flip,
+    random_vertical_flip,
+)

@@ -1,0 +1,163 @@
+"""Context-image augmentation (host-side NumPy, NHWC).
+
+Re-implements data/dataset/image_augmentation.py:15-299 without torch:
+  - RandomBackground: with the robot mask, substitute the background with a
+    random solid color / two-color gradient / +-noise image, and optionally
+    paste a random occluder crop (from a COCO-format directory when
+    available; any directory of cutout images works — zero-egress
+    environments won't have COCO);
+  - ZeroMaskPatchedImage: zero a random fraction of patch_size x patch_size
+    tiles (robustness testing, dataset.py:120-124);
+  - flip transforms that keep a pixel map consistent.
+"""
+
+import random
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def get_random_solid_color_image(shape) -> np.ndarray:
+    """image_augmentation.py:240-243 (uint8, [H, W, 3])."""
+    rgb = (np.random.rand(3) * 255).astype(np.uint8)
+    return np.ones(shape, np.uint8) * rgb[None, None, :]
+
+
+def get_gradient_image(rgb1: np.ndarray, rgb2: np.ndarray, vertical: bool) -> np.ndarray:
+    """image_augmentation.py:246-265."""
+    h, w = rgb1.shape[:2]
+    if vertical:
+        alpha = np.tile(np.linspace(0, 1, h)[:, None], (1, w))
+    else:
+        alpha = np.tile(np.linspace(0, 1, w), (h, 1))
+    return (rgb2 * alpha[..., None] + rgb1 * (1.0 - alpha[..., None]))
+
+
+def add_noise(rgb_image: np.ndarray, max_noise: int = 50) -> np.ndarray:
+    """image_augmentation.py:268-285 (uint8 wraparound preserved)."""
+    shape = rgb_image.shape
+    noise_a = (np.random.rand(*shape) * max_noise).astype(np.uint8)
+    noise_b = (np.random.rand(*shape) * max_noise).astype(np.uint8)
+    return (rgb_image.astype(np.uint8) + noise_a - noise_b).astype(np.uint8)
+
+
+def get_random_image(shape) -> np.ndarray:
+    """Random solid / gradient background, optionally noised
+    (image_augmentation.py:226-237). shape = (H, W, 3); returns uint8."""
+    if np.random.rand() < 0.5:
+        img = get_random_solid_color_image(shape)
+    else:
+        img = get_gradient_image(
+            get_random_solid_color_image(shape),
+            get_random_solid_color_image(shape),
+            vertical=bool(np.random.rand() < 0.5),
+        )
+    if np.random.rand() < 0.5:
+        return img.astype(np.uint8)
+    return add_noise(img)
+
+
+class ZeroMaskPatchedImage:
+    """Zero a random mask_ratio of tiles (image_augmentation.py:55-82).
+    Operates on [H, W, C] float images; H, W must divide by patch_size."""
+
+    def __init__(self, patch_size: int = 20, mask_ratio: float = 0.5):
+        self.patch_size = patch_size
+        self.mask_ratio = mask_ratio
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        p = self.patch_size
+        h, w = image.shape[:2]
+        l, k = h // p, w // p
+        out = image.copy()
+        tiles = out[: l * p, : k * p].reshape(l, p, k, p, -1).swapaxes(1, 2)
+        flat = tiles.reshape(l * k, p, p, -1)
+        idx = np.random.permutation(l * k)[: int(l * k * self.mask_ratio)]
+        flat[idx] = 0.0
+        out[: l * p, : k * p] = flat.reshape(l, k, p, p, -1).swapaxes(1, 2).reshape(
+            l * p, k * p, -1
+        )
+        return out
+
+
+class RandomBackground:
+    """Background substitution + occluder paste (image_augmentation.py:85-221).
+
+    `occluder_dir`: directory of RGB cutout images used as paste occlusions
+    (stands in for the COCO-instance crops; None disables the paste branch).
+    """
+
+    def __init__(self, p: float = 0.5, occluder_dir: Optional[Path] = None,
+                 overlay_threshold: float = 0.5):
+        self.p = p
+        self.overlay_threshold = overlay_threshold
+        self.occluders: List[Path] = []
+        if occluder_dir is not None:
+            self.occluders = sorted(
+                q for q in Path(occluder_dir).glob("*")
+                if q.suffix.lower() in (".png", ".jpg", ".jpeg")
+            )
+
+    def randomize_bkgd(self, img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """img [H, W, 3] float[0,1]; mask [H, W] bool/float (1 = robot)."""
+        m = mask[..., None].astype(img.dtype)
+        background = get_random_image(img.shape).astype(np.float32) / 255.0
+        return img * m + background * (1.0 - m)
+
+    def randomize_occluder(self, img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        if not self.occluders:
+            return img
+        from PIL import Image
+
+        h, w = img.shape[:2]
+        crop = np.asarray(
+            Image.open(random.choice(self.occluders)).convert("RGB")
+        ).astype(np.float32) / 255.0
+        # shrink until it fits
+        while crop.shape[0] >= h or crop.shape[1] >= w:
+            crop = crop[::2, ::2]
+        ch, cw = crop.shape[:2]
+        if ch < 2 or cw < 2:
+            return img
+        y = np.random.randint(0, h - ch)
+        x = np.random.randint(0, w - cw)
+        # refuse if the paste would hide too much of the robot
+        # (image_augmentation.py:195-209)
+        area_before = float(np.sum(mask))
+        new_mask = mask.copy()
+        new_mask[y : y + ch, x : x + cw] = 0
+        if float(np.sum(new_mask)) < area_before * self.overlay_threshold:
+            return img
+        out = img.copy()
+        out[y : y + ch, x : x + cw] = crop
+        return out
+
+    def __call__(self, img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        if np.random.rand() < self.p:
+            img = self.randomize_bkgd(img, mask)
+        if np.random.rand() < self.p:
+            img = self.randomize_occluder(img, mask)
+        return img
+
+
+def random_horizontal_flip(images: List[np.ndarray], pix_map: np.ndarray,
+                           p: float = 0.5) -> Tuple[List[np.ndarray], np.ndarray]:
+    """image_augmentation.py:15-32 ([H, W, C] images, pix_map [..., H, W, 2])."""
+    if np.random.rand() < p:
+        w = images[0].shape[1]
+        images = [img[:, ::-1] for img in images]
+        pix_map = pix_map.copy()
+        pix_map[..., 0] = (w - 1) - pix_map[..., 0]
+    return images, pix_map
+
+
+def random_vertical_flip(images: List[np.ndarray], pix_map: np.ndarray,
+                         p: float = 0.5) -> Tuple[List[np.ndarray], np.ndarray]:
+    """image_augmentation.py:35-52."""
+    if np.random.rand() < p:
+        h = images[0].shape[0]
+        images = [img[::-1] for img in images]
+        pix_map = pix_map.copy()
+        pix_map[..., 1] = (h - 1) - pix_map[..., 1]
+    return images, pix_map

@@ -40,8 +40,21 @@ class DatasetCfgCommon:
     testing_mask_ratio: Optional[float] = None
 
 
-def load_image(path, scale_factor: float = 1.0) -> np.ndarray:
-    """uint8 image -> float32 [H, W, 3] in [0, 1] (io_utils.py:41-60)."""
+def load_image(path, scale_factor: float = 1.0,
+               expected_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """uint8 image -> float32 [H, W, 3] in [0, 1] (io_utils.py:41-60).
+
+    Fast path: the native C++ decoder (csrc/njf_loader.cpp) when the expected
+    size is known and no rescale is needed; PIL otherwise."""
+    if scale_factor == 1.0 and expected_hw is not None:
+        from .native import decode_rgb_batch
+
+        try:
+            out = decode_rgb_batch([path], *expected_hw, threads=1)
+            if out is not None:
+                return out[0]
+        except IOError:
+            pass  # fall through to PIL (odd formats, size mismatch)
     from PIL import Image
 
     img = Image.open(path)
@@ -52,10 +65,21 @@ def load_image(path, scale_factor: float = 1.0) -> np.ndarray:
     return arr[..., :3]
 
 
-def load_depth(path, scale_factor: float) -> np.ndarray:
+def load_depth(path, scale_factor: float,
+               expected_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Depth file -> float32 [H, W, 1] meters * dataparser scale (nerfstudio
     get_depth_image_from_path: 16-bit png in mm or .npy)."""
     path = str(path)
+    if path.endswith(".png") and expected_hw is not None:
+        from .native import decode_depth_batch
+
+        try:
+            out = decode_depth_batch([path], *expected_hw, scale=scale_factor,
+                                     threads=1)
+            if out is not None:
+                return out[0]
+        except IOError:
+            pass
     if path.endswith(".npy"):
         depth = np.load(path).astype(np.float32) * scale_factor
     elif path.endswith(".npz"):
@@ -110,6 +134,15 @@ class DatasetCommon:
         self.qpos_maximum = qpos.max(0).astype(np.float32)
         disabled = set(cfg.disabled_joints or [])
         self.active_joints = [j for j in range(cfg.num_total_joints) if j not in disabled]
+
+        # augmentation hooks (dataset.py:117-124)
+        from .augmentation import RandomBackground, ZeroMaskPatchedImage
+
+        self.random_background = RandomBackground() if cfg.augment_ctxt_image else None
+        self.zero_background = None
+        if stage == "test" and cfg.testing_mask_ratio is not None:
+            self.zero_background = ZeroMaskPatchedImage(
+                patch_size=20, mask_ratio=cfg.testing_mask_ratio)
 
     # -- per-robot hooks (dataset.py:219-222) --------------------------------
 
@@ -179,9 +212,13 @@ class DatasetCommon:
             str(ctxt_img_filename), ctxt_cam_idx, trgt_cam_idx
         )
 
+        hw_ctxt = (int(self.outputs.heights[ctxt_cam_idx]),
+                   int(self.outputs.widths[ctxt_cam_idx]))
+        hw_trgt = (int(self.outputs.heights[trgt_cam_idx]),
+                   int(self.outputs.widths[trgt_cam_idx]))
         try:
-            ctxt_rgb = load_image(ctxt_img_filename, self.scale_factor)
-            trgt_rgb = load_image(trgt_img_filename, self.scale_factor)
+            ctxt_rgb = load_image(ctxt_img_filename, self.scale_factor, hw_ctxt)
+            trgt_rgb = load_image(trgt_img_filename, self.scale_factor, hw_trgt)
         except OSError:
             return self.__getitem__(random.randint(0, self.num_files - 1))
 
@@ -198,8 +235,18 @@ class DatasetCommon:
         depth_scale = (self.outputs.depth_unit_scale_factor
                        * self.outputs.dataparser_scale)
         trgt_depth = load_depth(
-            str(trgt_img_filename).replace("rgb", "depth"), depth_scale
+            str(trgt_img_filename).replace("rgb", "depth"), depth_scale, hw_trgt
         )
+
+        if self.random_background is not None:
+            mask_path = str(ctxt_img_filename).replace("rgb", "mask").replace(".png", ".npy")
+            try:
+                mask = np.load(mask_path).astype(np.float32)
+                ctxt_rgb = self.random_background(ctxt_rgb, mask)
+            except FileNotFoundError:
+                pass
+        if self.zero_background is not None:
+            ctxt_rgb = self.zero_background(ctxt_rgb)
 
         item = {
             "ctxt_rgb": ctxt_rgb.astype(np.float32),

@@ -17,3 +17,4 @@ from .sensitivity import (
     visualize_joint_sensitivity,
     compute_joint_sensitivity_point_cloud,
 )
+from .loaders import parse_camera_json, load_model, resolve_checkpoint

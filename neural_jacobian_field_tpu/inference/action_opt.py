@@ -123,7 +123,7 @@ def solve_actions_least_squares(
         jac = jac * w[..., None]
         resid = resid * w
 
-    jtj = jnp.einsum("brca,brcb->bab", jac, jac)
+    jtj = jnp.einsum("brca,brcd->bad", jac, jac)
     jtr = jnp.einsum("brca,brc->ba", jac, resid)
     jtj = jtj + damping * jnp.eye(action_dim)
     return jnp.linalg.solve(jtj, jtr[..., None])[..., 0]

@@ -168,7 +168,7 @@ def depth_colormap(depth: np.ndarray, near=None, far=None) -> np.ndarray:
 
     depth: [..., 1] or [...]. Returns uint8 [..., 3].
     """
-    import matplotlib.cm as cm
+    import matplotlib
 
     d = np.asarray(depth)
     if d.shape[-1] == 1:
@@ -176,7 +176,7 @@ def depth_colormap(depth: np.ndarray, near=None, far=None) -> np.ndarray:
     lo = np.min(d) if near is None else near
     hi = np.max(d) if far is None else far
     x = np.clip((d - lo) / (hi - lo + 1e-10), 0, 1)
-    return (cm.get_cmap("turbo")(x)[..., :3] * 255).astype(np.uint8)
+    return (matplotlib.colormaps["turbo"](x)[..., :3] * 255).astype(np.uint8)
 
 
 def flow_to_rgb(flow: np.ndarray, max_norm: Optional[float] = None) -> np.ndarray:

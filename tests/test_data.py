@@ -143,3 +143,27 @@ def test_synthetic_flow_matches_jacobian(scene_root):
     flow = np.load(flows[0])["flow"]
     assert flow.shape == (32, 40, 2)
     assert np.isfinite(flow).all()
+
+
+def test_native_decoder_matches_pil(scene_root):
+    """C++ batch decoder must be bit-equivalent to the PIL path
+    (csrc/njf_loader.cpp)."""
+    from PIL import Image
+
+    from neural_jacobian_field_tpu.data.native import (
+        decode_depth_batch, decode_rgb_batch, get_lib,
+    )
+
+    if get_lib() is None:
+        pytest.skip("native loader unavailable (no toolchain)")
+    rgbs = sorted((scene_root / "rgb" / "view_0").glob("*.png"))[:4]
+    out = decode_rgb_batch(rgbs, 32, 40)
+    ref = np.stack([np.asarray(Image.open(p)).astype(np.float32) / 255.0
+                    for p in rgbs])[..., :3]
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    depths = sorted((scene_root / "depth" / "view_0").glob("*.png"))[:4]
+    dout = decode_depth_batch(depths, 32, 40, scale=1e-3)
+    dref = np.stack([np.asarray(Image.open(p)).astype(np.float32) * 1e-3
+                     for p in depths])[..., None]
+    np.testing.assert_allclose(dout, dref, atol=1e-8)
