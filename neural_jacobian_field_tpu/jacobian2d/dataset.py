@@ -43,6 +43,9 @@ class Dataset2DCfg:
     # qpos min-max normalization bounds (pusher_dataset.py:30-33)
     min_qpos: Optional[np.ndarray] = None
     max_qpos: Optional[np.ndarray] = None
+    # optional target size; flow magnitudes rescale with resolution
+    # (planar_hand_dataset.py via raft resize_batched_flow)
+    resize_hw: Optional[tuple] = None
 
 
 _DEFAULT_BOUNDS = {
@@ -85,6 +88,14 @@ class Dataset2D:
             flow = flow.transpose(0, 2, 3, 1)  # [T, 2, H, W] -> [T, H, W, 2]
         qpos = np.asarray(traj["seq_qpos"], np.float32)[:, : self.cfg.command_dim]
         qpos = (qpos - self.min_qpos) / (self.max_qpos - self.min_qpos)
+        if self.cfg.resize_hw is not None:
+            import jax.numpy as jnp
+
+            from ..flow.raft import resize_batched_flow, resize_batched_frames
+
+            th, tw = self.cfg.resize_hw
+            rgb = np.asarray(resize_batched_frames(jnp.asarray(rgb), (th, tw)))
+            flow = np.asarray(resize_batched_flow(jnp.asarray(flow), (th, tw)))
         return {"rgb": rgb, "flow": flow, "qpos": qpos}
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the volume-rendering hot path (SURVEY.md §7 K1-K5).
+
+Every kernel has a jitted-XLA reference implementation in ops/ and ships with
+parity tests (tests/test_pallas.py, interpret mode on CPU). Kernels are
+opt-in via the `use_pallas=...` flags on their call sites.
+"""
+
+from .composite import fused_composite
+
+__all__ = ["fused_composite"]

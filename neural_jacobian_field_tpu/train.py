@@ -79,7 +79,8 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     t_last, n_last = time.time(), 0
     for i in range(max_steps):
         key, sub = jax.random.split(key)
-        batch = shard_batch(next(loader), mesh)
+        raw = next(loader)
+        batch = shard_batch(raw, mesh)
         state, metrics = step_fn(state, batch, sub)
         if (i + 1) % 100 == 0:
             metrics = jax.device_get(metrics)
@@ -87,10 +88,48 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
             rays = (i + 1 - n_last) * batch_size * tcfg.rays_per_batch
             logger.log(i + 1, {**metrics, "perf/rays_per_sec": rays / dt})
             t_last, n_last = time.time(), i + 1
+        if cfg.training.val_check_interval and (i + 1) % cfg.training.val_check_interval == 0:
+            _run_validation(model, state, raw, cfg, logger, wandb_run, step=i + 1)
         ckpt.maybe_save(state)
     ckpt.wait()
     logger.close()
     return state
+
+
+def _run_validation(model, state, raw, cfg, logger, wandb_run, step: int):
+    """Interpolated-camera validation video (model_wrapper.py:196-387)."""
+    from .visualization import render_interpolated_view
+
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    raw0 = jax.tree.map(lambda x: np.asarray(x[:1]) if x is not None else None, raw)
+    h, w = raw0.trgt_rgb.shape[1:3]
+    videos = render_interpolated_view(
+        model, variables,
+        ctxt_rgb=raw0.ctxt_rgb, ctxt_extrinsics=raw0.ctxt_extrinsics,
+        ctxt_intrinsics=raw0.ctxt_intrinsics,
+        trgt_extrinsics=raw0.trgt_extrinsics, trgt_intrinsics=raw0.trgt_intrinsics,
+        robot_action=raw0.robot_action,
+        near=float(raw0.near[0]), far=float(raw0.far[0]),
+        num_frames=cfg.validation.video.num_frames, height=h, width=w,
+    )
+    if wandb_run is not None:
+        import wandb
+
+        for name, vid in videos.items():
+            wandb_run.log({f"video/{name}": wandb.Video(
+                vid.transpose(0, 3, 1, 2), fps=cfg.validation.video.frame_rate,
+                format="mp4")}, step=step)
+    else:
+        out = (logger.log_dir or Path("logs")) / f"val_{step}"
+        out.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+
+        for name, vid in videos.items():
+            Image.fromarray(vid[0]).save(out / f"{name}_f0.png")
+            Image.fromarray(vid[len(vid) // 2]).save(out / f"{name}_mid.png")
+        print(f"[val {step}] wrote frames -> {out}")
 
 
 def main(argv=None):

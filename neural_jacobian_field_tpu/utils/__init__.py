@@ -1,2 +1,3 @@
 from .logging import MetricsLogger, get_sanity_metrics, maybe_init_wandb
 from .profiling import trace, annotate, StepTimer
+from .metrics import psnr, flow_epe, jacobian_error

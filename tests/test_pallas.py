@@ -1,0 +1,44 @@
+"""Pallas kernel parity tests (interpret mode on CPU) against the jitted-XLA
+reference implementations in ops/."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_jacobian_field_tpu.ops.compositing import composite, render_depth, render_weights
+from neural_jacobian_field_tpu.ops.pallas import fused_composite
+
+
+def test_fused_composite_parity():
+    key = jax.random.PRNGKey(0)
+    n, s, c = 13, 32, 3  # deliberately not a tile multiple
+    density = jax.random.uniform(key, (n, s)) * 3.0
+    edges = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (n, s + 1)), axis=-1)
+    deltas = edges[:, 1:] - edges[:, :-1]
+    steps = (edges[:, 1:] + edges[:, :-1]) / 2
+    values = jax.random.uniform(jax.random.PRNGKey(2), (n, s, c))
+
+    w_ref = render_weights(density[..., None], deltas[..., None])[..., 0]
+    comp_ref = composite(w_ref[..., None], values)
+    acc_ref = jnp.sum(w_ref, axis=-1, keepdims=True)
+    depth_ref = jnp.sum(w_ref * steps, axis=-1, keepdims=True) / (acc_ref + 1e-10)
+
+    w, comp, depth, acc = fused_composite(density, deltas, steps, values,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(comp_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref), atol=1e-6)
+
+
+def test_fused_composite_zero_density():
+    n, s, c = 8, 16, 4
+    density = jnp.zeros((n, s))
+    deltas = jnp.full((n, s), 0.1)
+    steps = jnp.cumsum(deltas, axis=-1)
+    values = jnp.ones((n, s, c))
+    w, comp, depth, acc = fused_composite(density, deltas, steps, values,
+                                          interpret=True)
+    assert float(jnp.abs(w).max()) == 0.0
+    assert float(jnp.abs(comp).max()) == 0.0
+    assert float(acc.max()) == 0.0
