@@ -4,4 +4,5 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+    DevicePrefetcher,
 )

@@ -26,7 +26,7 @@ from .config import get_typed_root_config, load_config
 from .config.common import PipelineCfg
 from .data import DataLoader, get_dataset
 from .models.model import Model
-from .parallel import make_mesh, replicate, shard_batch
+from .parallel import DevicePrefetcher, make_mesh, replicate, shard_batch
 from .training import TrainCfg, create_train_state, make_train_step
 from .training.checkpoint import CheckpointManager, load_params_only
 from .utils import MetricsLogger, maybe_init_wandb
@@ -62,7 +62,9 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     )
 
     first_batch = next(loader)
+    print("first batch ready", flush=True)
     state = create_train_state(jax.random.PRNGKey(cfg.seed), model, first_batch, tcfg)
+    print("train state initialized", flush=True)
     if cfg.checkpoint.load:
         print(f"warm-starting params from {cfg.checkpoint.load}")
         state = state.replace(params=load_params_only(cfg.checkpoint.load, state.params))
@@ -75,13 +77,19 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
 
     step_fn = make_train_step(model, tcfg)
     max_steps = max_steps_override or cfg.training.max_steps
+    print(f"starting training for {max_steps} steps", flush=True)
     key = jax.random.PRNGKey(cfg.seed + 1)
     t_last, n_last = time.time(), 0
+    device_iter = DevicePrefetcher(loader, mesh, depth=2)
+    raw = None
     for i in range(max_steps):
         key, sub = jax.random.split(key)
-        raw = next(loader)
-        batch = shard_batch(raw, mesh)
+        batch = next(device_iter)
+        raw = batch  # last batch (device-resident) reused for validation
         state, metrics = step_fn(state, batch, sub)
+        if i == 0:
+            jax.block_until_ready(metrics["loss/total"])
+            print("first step compiled + executed", flush=True)
         if (i + 1) % 100 == 0:
             metrics = jax.device_get(metrics)
             dt = time.time() - t_last
@@ -133,6 +141,11 @@ def _run_validation(model, state, raw, cfg, logger, wandb_run, step: int):
 
 
 def main(argv=None):
+    # persistent compilation cache: cold compiles of the full train step can
+    # take minutes (especially via remote-TPU tunnels); cache across runs
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path.home() / ".cache" / "njf_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg_dict = load_config(CONFIG_DIR, overrides)
     cfg = get_typed_root_config(cfg_dict)
