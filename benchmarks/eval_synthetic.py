@@ -1,0 +1,116 @@
+"""Quality evaluation on a synthetic scene: PSNR (perception) + flow EPE
+(action) against the analytic ground truth — the parity-metric harness
+(BASELINE.md: PSNR + Jacobian-error parity).
+
+Usage:
+  python benchmarks/eval_synthetic.py --scene /tmp/njf_cli_scene \
+      --ckpt /tmp/njf_cli_ckpt_action [--cpu]
+
+Renders every (camera, frame) view with the trained model and compares
+rgb/depth to the stored images and predicted optical flow (J(x)·a composited
+and projected) to the stored RAFT-style flow files.
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--action-dim", type=int, default=3)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--num-views", type=int, default=6)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/njf_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from neural_jacobian_field_tpu.data import DatasetCfgCommon, get_dataset
+    from neural_jacobian_field_tpu.data.dataset import load_optical_flow
+    from neural_jacobian_field_tpu.data import conventions as cv
+    from neural_jacobian_field_tpu.inference import render_camera
+    from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
+    from neural_jacobian_field_tpu.models.model import (
+        CameraInput, Model, RenderingCfg, RobotInput, make_model_cfg,
+    )
+    from neural_jacobian_field_tpu.training.checkpoint import load_params_only
+    from neural_jacobian_field_tpu.utils import flow_epe, psnr
+
+    ds = get_dataset(DatasetCfgCommon(
+        name="allegro", mode="action", root=args.scene,
+        num_total_joints=args.action_dim, max_num_frames_per_traj=10**9), "train")
+
+    model = Model(cfg=make_model_cfg(
+        "jacobian_mlp", action_dim=args.action_dim,
+        rendering=RenderingCfg(num_proposal_samples=(args.samples,),
+                               num_nerf_samples=args.samples),
+        encoder=EncoderResnetCfg(norm_type="group"),
+    ), compute_dtype=jnp.bfloat16)
+
+    # template + restore
+    item0 = ds[0]
+    h, w = item0["trgt_rgb"].shape[:2]
+    variables = None
+
+    def build_camera(item):
+        return CameraInput(
+            input_image=jnp.asarray(item["ctxt_rgb"])[None],
+            ctxt_extrinsics=jnp.asarray(item["ctxt_extrinsics"])[None],
+            ctxt_intrinsics=jnp.asarray(item["ctxt_intrinsics"])[None],
+            trgt_extrinsics=jnp.asarray(item["trgt_extrinsics"])[None],
+            trgt_intrinsics=jnp.asarray(
+                cv.denormalize_intrinsics(item["trgt_intrinsics"], h, w))[None],
+        )
+
+    # init template params via one tiny init
+    from neural_jacobian_field_tpu.training import RawBatch, TrainCfg, create_train_state
+    raw = RawBatch(
+        ctxt_rgb=jnp.asarray(item0["ctxt_rgb"])[None],
+        ctxt_extrinsics=jnp.asarray(item0["ctxt_extrinsics"])[None],
+        ctxt_intrinsics=jnp.asarray(item0["ctxt_intrinsics"])[None],
+        robot_action=jnp.asarray(item0["robot_action"])[None],
+        trgt_rgb=jnp.asarray(item0["trgt_rgb"])[None],
+        trgt_depth=jnp.asarray(item0["trgt_depth"])[None],
+        trgt_extrinsics=jnp.asarray(item0["trgt_extrinsics"])[None],
+        trgt_intrinsics=jnp.asarray(item0["trgt_intrinsics"])[None],
+        near=jnp.asarray([ds.near]), far=jnp.asarray([ds.far]))
+    state = create_train_state(jax.random.PRNGKey(0), model, raw,
+                               TrainCfg(mode="perception", rays_per_batch=8))
+    params = load_params_only(args.ckpt, state.params)
+    variables = {"params": params}
+
+    psnrs, epes = [], []
+    rng = np.random.default_rng(0)
+    for k in range(args.num_views):
+        idx = int(rng.integers(0, ds.num_files))
+        item = ds[idx]
+        cam = build_camera(item)
+        robot = RobotInput(robot_action=jnp.asarray(item["robot_action"])[None])
+        out = render_camera(model, variables, cam, robot, z_near=ds.near,
+                            z_far=ds.far, height=h, width=w, patch_size=4096)
+        psnrs.append(float(psnr(out.rgb[0], jnp.asarray(item["trgt_rgb"]))))
+        if "flow" in item:
+            epes.append(float(flow_epe(out.flow_raw[0], jnp.asarray(item["flow"]))))
+
+    print(json.dumps({"metric": "psnr", "value": round(float(np.mean(psnrs)), 2),
+                      "unit": f"dB over {len(psnrs)} full renders"}))
+    if epes:
+        print(json.dumps({"metric": "flow_epe",
+                          "value": round(float(np.mean(epes)), 3),
+                          "unit": "px end-point error vs analytic flow"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,26 +84,30 @@ def bench_train(emit):
 
 
 def bench_render(emit):
-    from neural_jacobian_field_tpu.inference import render_camera
-
-    model, state, raw, cfg, mi = _setup(samples=(96, 96))
+    # reference inference shape: batch 1, 2048-ray patches (model.py:533)
+    model, state, raw, cfg, mi = _setup(samples=(96, 96), batch=1)
     variables = {"params": state.params}
     h, w = 240, 320
+
+    from neural_jacobian_field_tpu.inference import render_camera_host_loop
 
     def run(n, seed):
         t0 = time.perf_counter()
         out = None
         for i in range(n):
-            out = render_camera(model, variables, mi.camera_input,
-                                mi.robot_input, z_near=0.5, z_far=10.0,
-                                height=h, width=w, patch_size=4096,
-                                key=jax.random.PRNGKey(seed + i))
+            # host-loop mode: small per-patch programs (remote compile
+            # services reject the monolithic lax.map program)
+            out = render_camera_host_loop(model, variables, mi.camera_input,
+                                          mi.robot_input, z_near=0.5,
+                                          z_far=10.0, height=h, width=w,
+                                          patch_size=2048,
+                                          key=jax.random.PRNGKey(seed + i))
         jax.block_until_ready(out.rgb)
         return time.perf_counter() - t0
 
     per = marginal_time(run, k=3)
-    emit("render_rays_per_sec", 7 * h * w / per,
-         f"rays/s (whole-image {h}x{w}, 192 samples, batch 7)")
+    emit("render_rays_per_sec", h * w / per,
+         f"rays/s (whole-image {h}x{w}, 192 samples, batch 1)")
 
 
 def bench_field_queries(emit):
@@ -123,14 +127,18 @@ def bench_field_queries(emit):
                            method=Model.infer_optical_flow)
 
     def run(n, seed):
+        # chain each query on the previous output so calls serialize on
+        # device (otherwise dispatch pipelining hides the compute entirely)
+        a = jnp.full((1, 8), 0.01 * seed)
         t0 = time.perf_counter()
         out = None
         for i in range(n):
-            out = infer(jnp.full((1, 8), 0.01 * (seed + i)))
+            out = infer(a)
+            a = jnp.full((1, 8), 0.01) + 1e-6 * jnp.mean(out) * jnp.ones((1, 8))
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
-    per = marginal_time(run, k=20)
+    per = marginal_time(run, k=50)
     # queries = ray-sample points whose cached Jacobian is contracted
     emit("field_queries_per_sec", 4096 * 64 / per,
          "cached J-contractions/s (4096 rays x 64 samples)")

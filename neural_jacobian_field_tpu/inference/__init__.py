@@ -2,6 +2,7 @@ from .render import (
     RenderingOutput,
     patch_render,
     render_camera,
+    render_camera_host_loop,
     camera_rays,
     depth_colormap,
     flow_to_rgb,

@@ -125,6 +125,86 @@ def patch_render(
     )
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _render_one_patch(model: Model, variables, camera_input: CameraInput,
+                      pixel_encoding, origins, directions, z_near, z_far, key):
+    """One jitted patch program (host-loop mode): proposal + decode +
+    composite for a single ray chunk, context encoding precomputed."""
+    from ..models.decoders import PixelEncoding  # noqa: F401 (typing aid)
+
+    ri = RenderingInput(origins=origins, directions=directions,
+                        z_near=z_near, z_far=z_far)
+    ctx = StepCtx(key=key, anneal=jnp.asarray(1.0), updated=jnp.asarray(True))
+
+    def fwd(mdl):
+        ray_bundle = mdl.compute_ray_bundle(ri)
+        ray_samples, positions, dirs, _, _ = mdl.compute_proposal(
+            ray_bundle, pixel_encoding, ctx, stratified=False)
+        dec = mdl.decoder(positions, dirs, pixel_encoding)
+        weights = ray_samples.get_weights(dec.density)
+        rgb = jnp.sum(weights * dec.color, axis=-2)
+        steps = (ray_samples.starts + ray_samples.ends) / 2
+        depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + 1e-10)
+        depth = jnp.clip(depth, jnp.min(steps), jnp.max(steps))
+        flow, pos, pos_warped = mdl.render_optical_flow(
+            weights, positions, dec.flow[..., :3],
+            camera_input.trgt_extrinsics, camera_input.trgt_intrinsics)
+        feats = jnp.sum(weights * dec.action_features, axis=-2)
+        return (rgb, depth, flow, feats, pos, pos_warped,
+                weights[..., 0], steps[..., 0])
+
+    return model.apply(variables, method=lambda mdl: fwd(mdl))
+
+
+def render_camera_host_loop(model: Model, variables, camera_input: CameraInput,
+                            robot_input: RobotInput, z_near, z_far, height: int,
+                            width: int, key: Optional[jax.Array] = None,
+                            patch_size: int = 2048) -> RenderingOutput:
+    """Full-image render dispatching one small jitted program per patch (the
+    reference's Python-loop strategy, models/model.py:561-596). Same output
+    as render_camera; preferable where very large single programs are
+    undesirable (remote compile services, memory-limited compiles)."""
+    import numpy as np
+
+    b = camera_input.trgt_extrinsics.shape[0]
+    intr = camera_input.trgt_intrinsics
+    norm = jnp.array([[1.0 / width, 1.0, 1.0 / width],
+                      [1.0, 1.0 / height, 1.0 / height],
+                      [1.0, 1.0, 1.0]])
+    intr_n = jnp.where(intr[:, 0:1, 0:1] > 2.0, intr * norm, intr)
+    origins, directions = camera_rays(height, width, intr_n,
+                                      camera_input.trgt_extrinsics)
+    num_rays = origins.shape[1]
+    pad = (-num_rays) % patch_size
+    if pad:
+        origins = jnp.concatenate([origins, origins[:, :pad]], axis=1)
+        directions = jnp.concatenate([directions, directions[:, :pad]], axis=1)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    z_near_arr = jnp.broadcast_to(jnp.asarray(z_near), (b,))
+    z_far_arr = jnp.broadcast_to(jnp.asarray(z_far), (b,))
+
+    pixel_encoding = model.apply(variables, camera_input, robot_input,
+                                 method=Model.compute_pixel_encoding)
+    chunks = []
+    for start in range(0, origins.shape[1], patch_size):
+        chunks.append(_render_one_patch(
+            model, variables, camera_input, pixel_encoding,
+            origins[:, start:start + patch_size],
+            directions[:, start:start + patch_size],
+            z_near_arr, z_far_arr, key))
+    parts = [jnp.concatenate(x, axis=1)[:, :height * width] for x in zip(*chunks)]
+
+    def reshape(x):
+        return x.reshape(b, height, width, *x.shape[2:])
+
+    rgb, depth, flow, feats, pos, pos_warped, weights, steps = map(reshape, parts)
+    return RenderingOutput(rgb=rgb, depth_raw=depth, flow_raw=flow,
+                           action_features=feats, ray_positions=pos,
+                           ray_positions_warped=pos_warped, weights=weights,
+                           steps=steps)
+
+
 def render_camera(model: Model, variables, camera_input: CameraInput,
                   robot_input: RobotInput, z_near, z_far, height: int, width: int,
                   key: Optional[jax.Array] = None,

@@ -6,5 +6,6 @@ opt-in via the `use_pallas=...` flags on their call sites.
 """
 
 from .composite import fused_composite
+from .field_mlp import fused_resnet_fc
 
-__all__ = ["fused_composite"]
+__all__ = ["fused_composite", "fused_resnet_fc"]

@@ -5,4 +5,9 @@ from .view_interpolation import (
     reproj_best,
     cosine_smooth,
 )
-from .validation import render_interpolated_view, draw_pixel_motion, ping_pong
+from .validation import (
+    render_interpolated_view,
+    draw_pixel_motion,
+    draw_point_matches,
+    ping_pong,
+)

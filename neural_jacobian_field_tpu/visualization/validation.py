@@ -111,3 +111,36 @@ def draw_pixel_motion(
 def ping_pong(video: np.ndarray) -> np.ndarray:
     """Seamless forward-backward loop (model_wrapper.py:334-387 videos)."""
     return np.concatenate([video, video[::-1]], axis=0)
+
+
+def draw_point_matches(
+    image_a: np.ndarray,
+    image_b: np.ndarray,
+    points_a_xy: np.ndarray,
+    points_b_xy: np.ndarray,
+    color=(255, 80, 0),
+    radius: int = 2,
+) -> np.ndarray:
+    """Side-by-side correspondence visualization (inference/plotting.py:62-180):
+    images stacked horizontally with lines joining matched points."""
+    import cv2
+
+    def to_u8(img):
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return img
+
+    a, b = to_u8(image_a), to_u8(image_b)
+    h = max(a.shape[0], b.shape[0])
+    canvas = np.zeros((h, a.shape[1] + b.shape[1], 3), np.uint8)
+    canvas[: a.shape[0], : a.shape[1]] = a
+    canvas[: b.shape[0], a.shape[1]:] = b
+    offset = a.shape[1]
+    for pa, pb in zip(np.asarray(points_a_xy), np.asarray(points_b_xy)):
+        xa, ya = int(round(pa[0])), int(round(pa[1]))
+        xb, yb = int(round(pb[0])) + offset, int(round(pb[1]))
+        cv2.circle(canvas, (xa, ya), radius, color, -1)
+        cv2.circle(canvas, (xb, yb), radius, color, -1)
+        cv2.line(canvas, (xa, ya), (xb, yb), color, 1)
+    return canvas

@@ -42,3 +42,22 @@ def test_fused_composite_zero_density():
     assert float(jnp.abs(w).max()) == 0.0
     assert float(jnp.abs(comp).max()) == 0.0
     assert float(acc.max()) == 0.0
+
+
+def test_fused_resnet_fc_parity():
+    """K2 kernel must match the Flax ResnetFC forward bit-tight."""
+    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg, ResnetFC
+    from neural_jacobian_field_tpu.ops.pallas import fused_resnet_fc
+
+    cfg = MlpCfg(n_blocks=5, d_hidden=128, combine_layer=3)
+    d_latent, d_in, d_out = 512, 63, 16
+    model = ResnetFC(cfg=cfg, d_out=d_out, d_latent=d_latent)
+    key = jax.random.PRNGKey(0)
+    n = 300  # not a tile multiple
+    z = jax.random.normal(key, (n, d_latent))
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d_in))
+    variables = model.init(jax.random.PRNGKey(2), z, x)
+    ref, _ = model.apply(variables, z, x)
+    out = fused_resnet_fc(variables["params"], cfg, z, x, d_out, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
