@@ -128,15 +128,23 @@ def _normalized_directions(directions: jax.Array) -> jax.Array:
     return (directions + 1.0) / 2.0
 
 
+def _trunk_cls(remat: bool):
+    """ResnetFC, optionally rematerialized (activations of the B*R*S point
+    evals recomputed in backward instead of stored — compute_features is the
+    only static arg, index 3 counting self)."""
+    return nn.remat(ResnetFC, static_argnums=(2,)) if remat else ResnetFC
+
+
 class DensityDecoderMlp(nn.Module):
     """Proposal-network density field (density_decoder.py:23-71)."""
 
     cfg: DensityDecoderMlpCfg
     encoder_dim: int
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
-        self.density_head = ResnetFC(
+        self.density_head = _trunk_cls(self.remat)(
             cfg=self.cfg.mlp, d_out=1, d_latent=self.encoder_dim,
             compute_dtype=self.compute_dtype, name="density_head",
         )
@@ -258,15 +266,17 @@ class ActionDecoderJacobianMlp(ActionDecoderBase):
     cfg: ActionDecoderJacobianMlpCfg = ActionDecoderJacobianMlpCfg()
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         cfg = self.cfg
-        self.density_head = ResnetFC(
+        trunk = _trunk_cls(self.remat)
+        self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
             compute_dtype=self.compute_dtype, name="density_head",
         )
         self._activation = density_activation("trunc_exp")
-        self.jacobian_head = ResnetFC(
+        self.jacobian_head = trunk(
             cfg=cfg.mlp, d_out=self.spatial_dim * self.action_dim,
             d_latent=self.encoder_dim, compute_dtype=self.compute_dtype,
             kernel_override=init.near_zero_normal(), bias_override=init.near_zero_normal(),
@@ -294,11 +304,13 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
     cfg: ActionDecoderJacobianTransformerCfg = ActionDecoderJacobianTransformerCfg()
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         cfg = self.cfg
         tcfg = cfg.transformer
-        self.density_head = ResnetFC(
+        trunk = _trunk_cls(self.remat)
+        self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
             compute_dtype=self.compute_dtype, name="density_head",
         )
@@ -350,15 +362,17 @@ class ActionDecoderFlowMlp(ActionDecoderBase):
     cfg: ActionDecoderFlowMlpCfg = ActionDecoderFlowMlpCfg()
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         cfg = self.cfg
-        self.density_head = ResnetFC(
+        trunk = _trunk_cls(self.remat)
+        self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
             compute_dtype=self.compute_dtype, name="density_head",
         )
         self._activation = density_activation("trunc_exp")
-        self.flow_head = ResnetFC(
+        self.flow_head = trunk(
             cfg=cfg.mlp, d_out=self.spatial_dim,
             d_latent=self.encoder_dim + self.action_dim,
             compute_dtype=self.compute_dtype,
@@ -402,8 +416,10 @@ DECODERS = {
 }
 
 
-def get_action_decoder(cfg, action_dim: int, encoder_dim: int, compute_dtype=None):
-    """Registry dispatch (models/decoder/__init__.py:37-44)."""
+def get_action_decoder(cfg, action_dim: int, encoder_dim: int, compute_dtype=None,
+                       remat: bool = False):
+    """Registry dispatch (models/decoder/__init__.py:37-44). remat
+    rematerializes the ResnetFC trunk activations in backward."""
     _, cls = DECODERS[cfg.name]
     return cls(cfg=cfg, action_dim=action_dim, encoder_dim=encoder_dim,
-               compute_dtype=compute_dtype)
+               compute_dtype=compute_dtype, remat=remat)

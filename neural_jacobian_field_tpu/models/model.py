@@ -182,10 +182,17 @@ class Model(nn.Module):
 
     Methods other than __call__ are invoked via `model.apply(vars, ...,
     method=Model.<name>)`.
+
+    remat=True rematerializes the decoder + proposal-net evaluations in the
+    backward pass (jax.checkpoint): activations for B*R*S point-MLP evals are
+    recomputed instead of stored, trading ~1 extra forward for O(samples)
+    less HBM — the lever for scaling rays_per_batch (README.md:161-165's OOM
+    hazard becomes a flag).
     """
 
     cfg: ModelCfg = ModelCfg()
     compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -194,11 +201,11 @@ class Model(nn.Module):
         encoder_dim = EncoderResnet.output_dim(cfg.encoder)
         self.decoder = get_action_decoder(
             cfg.action_decoder, action_dim=cfg.action_dim, encoder_dim=encoder_dim,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, remat=self.remat,
         )
         self.proposal_networks = [
             DensityDecoderMlp(cfg=cfg.density_decoder, encoder_dim=encoder_dim,
-                              compute_dtype=self.compute_dtype,
+                              compute_dtype=self.compute_dtype, remat=self.remat,
                               name=f"proposal_networks_{i}")
             for i in range(len(cfg.rendering.num_proposal_samples))
         ]

@@ -143,3 +143,19 @@ def test_spmd_train_step_on_mesh():
     # params stay replicated after the update
     p0 = jax.tree.leaves(state.params)[0]
     assert p0.sharding.is_fully_replicated
+
+
+def test_remat_matches_baseline():
+    """remat=True must not change results — only memory/recompute tradeoff."""
+    from neural_jacobian_field_tpu.models.model import Model
+
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    cfg = TrainCfg(mode="perception", rays_per_batch=16, lr=1e-3, warm_up_steps=5)
+    losses = {}
+    for remat in (False, True):
+        model = Model(cfg=tiny_model().cfg, remat=remat)
+        state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+        step = make_train_step(model, cfg, donate=False)
+        state, m = step(state, raw, jax.random.PRNGKey(7))
+        losses[remat] = float(m["loss/total"])
+    assert losses[False] == pytest.approx(losses[True], rel=1e-5)
