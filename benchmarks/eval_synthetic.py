@@ -91,7 +91,7 @@ def main():
     params = load_params_only(args.ckpt, state.params)
     variables = {"params": params}
 
-    psnrs, epes = [], []
+    psnrs, epes, j_errs = [], [], []
     rng = np.random.default_rng(0)
     for k in range(args.num_views):
         idx = int(rng.integers(0, ds.num_files))
@@ -104,12 +104,37 @@ def main():
         if "flow" in item:
             epes.append(float(flow_epe(out.flow_raw[0], jnp.asarray(item["flow"]))))
 
+        # Jacobian parity: the synthetic robot's world-space Jacobian is known
+        # in closed form on the sphere: dcenter/daction = QPOS_GAIN *
+        # (qmax - qmin) * dataparser_scale per joint (data/synthetic.py), 0 in
+        # the background. Compare the composited J on high-opacity pixels.
+        from neural_jacobian_field_tpu.data.synthetic import QPOS_GAIN
+
+        acc = np.asarray(out.weights[0]).sum(-1)  # [H, W] accumulation
+        j_map = np.asarray(out.action_features[0]).reshape(h, w, args.action_dim, 3)
+        span = (ds.qpos_maximum - ds.qpos_minimum)[: args.action_dim]
+        scale = ds.outputs.dataparser_scale
+        # The scene's world frame is rotated per item (pose auto-orient +
+        # relative extrinsics), so compare the rotation-invariant per-joint
+        # column NORMS: |J_d| = QPOS_GAIN * span_d * dataparser_scale on the
+        # robot, 0 in the background (raw dq = normalized action * span).
+        j_true_norm = QPOS_GAIN * span[:3] * scale
+        mask = acc > 0.5
+        if mask.sum() > 0:
+            pred_norm = np.linalg.norm(j_map[mask][:, :3], axis=-1)  # [N, 3]
+            j_errs.append(float(np.abs(pred_norm - j_true_norm).mean()
+                                / (np.abs(j_true_norm).mean() + 1e-9)))
+
     print(json.dumps({"metric": "psnr", "value": round(float(np.mean(psnrs)), 2),
                       "unit": f"dB over {len(psnrs)} full renders"}))
     if epes:
         print(json.dumps({"metric": "flow_epe",
                           "value": round(float(np.mean(epes)), 3),
                           "unit": "px end-point error vs analytic flow"}))
+    if j_errs:
+        print(json.dumps({"metric": "jacobian_rel_err",
+                          "value": round(float(np.mean(j_errs)), 3),
+                          "unit": "mean |J_pred - J_true| / mean|J_true| on robot pixels"}))
 
 
 if __name__ == "__main__":

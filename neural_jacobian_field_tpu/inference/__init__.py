@@ -3,6 +3,7 @@ from .render import (
     patch_render,
     render_camera,
     render_camera_host_loop,
+    render_camera_sharded,
     camera_rays,
     depth_colormap,
     flow_to_rgb,

@@ -285,3 +285,52 @@ def flow_to_rgb(flow: np.ndarray, max_norm: Optional[float] = None) -> np.ndarra
     ], 0)
     rgb = np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
     return (rgb * 255).astype(np.uint8)
+
+
+def render_camera_sharded(model: Model, variables, camera_input: CameraInput,
+                          robot_input: RobotInput, z_near, z_far, height: int,
+                          width: int, mesh, key: Optional[jax.Array] = None,
+                          patch_size: int = 2048) -> RenderingOutput:
+    """Multi-chip whole-image render: rays shard over the mesh's "data" axis
+    (volume rendering is embarrassingly parallel over rays — SURVEY.md §5
+    long-context note), params/context encoding replicate, jit partitions the
+    per-ray math with zero collectives until the final gather.
+
+    patch_size applies PER DEVICE (each shard sweeps its rays in chunks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    b = camera_input.trgt_extrinsics.shape[0]
+    intr = camera_input.trgt_intrinsics
+    norm = jnp.array([[1.0 / width, 1.0, 1.0 / width],
+                      [1.0, 1.0 / height, 1.0 / height],
+                      [1.0, 1.0, 1.0]])
+    intr_n = jnp.where(intr[:, 0:1, 0:1] > 2.0, intr * norm, intr)
+    origins, directions = camera_rays(height, width, intr_n,
+                                      camera_input.trgt_extrinsics)
+    num_rays = origins.shape[1]
+    # pad so rays divide by devices * patch_size
+    quantum = n_dev * patch_size
+    pad = (-num_rays) % quantum
+    if pad:
+        origins = jnp.concatenate([origins, origins[:, :pad]], axis=1)
+        directions = jnp.concatenate([directions, directions[:, :pad]], axis=1)
+
+    ray_sharding = NamedSharding(mesh, P(None, "data", None))
+    rep = NamedSharding(mesh, P())
+    origins = jax.device_put(origins, ray_sharding)
+    directions = jax.device_put(directions, ray_sharding)
+    variables = jax.device_put(variables, rep)
+    camera_input = jax.device_put(camera_input, rep)
+    robot_input = jax.device_put(robot_input, rep)
+
+    ri = RenderingInput(
+        origins=origins, directions=directions,
+        z_near=jnp.broadcast_to(jnp.asarray(z_near), (b,)),
+        z_far=jnp.broadcast_to(jnp.asarray(z_far), (b,)),
+    )
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return patch_render(model, variables, camera_input, ri, robot_input, key,
+                        patch_size=patch_size * n_dev, render_height=height,
+                        render_width=width)

@@ -230,8 +230,12 @@ class Model(nn.Module):
     def compute_pixel_encoding(self, camera_input: CameraInput,
                                robot_input: RobotInput,
                                train: bool = False) -> PixelEncoding:
-        """models/model.py:398-414."""
+        """models/model.py:398-414. The feature map is kept in compute_dtype:
+        the pixel-aligned gathers (and their backward scatters) are the
+        train step's HBM-bandwidth bottleneck — bf16 halves that traffic."""
         features = self.encoder(camera_input.input_image, train=train)
+        if self.compute_dtype is not None:
+            features = features.astype(self.compute_dtype)
         return PixelEncoding(
             features=features,
             extrinsics=camera_input.ctxt_extrinsics,

@@ -167,3 +167,38 @@ def test_native_decoder_matches_pil(scene_root):
     dref = np.stack([np.asarray(Image.open(p)).astype(np.float32) * 1e-3
                      for p in depths])[..., None]
     np.testing.assert_allclose(dout, dref, atol=1e-8)
+
+
+def test_augmentation_ops():
+    """Background substitution keeps robot pixels; patch masking zeros the
+    configured fraction (image_augmentation.py semantics)."""
+    from neural_jacobian_field_tpu.data import RandomBackground, ZeroMaskPatchedImage
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (40, 40, 3)).astype(np.float32)
+    mask = np.zeros((40, 40), np.float32)
+    mask[10:30, 10:30] = 1.0
+    aug = RandomBackground(p=1.0)
+    out = aug.randomize_bkgd(img, mask)
+    # robot pixels unchanged; background replaced
+    np.testing.assert_allclose(out[10:30, 10:30], img[10:30, 10:30], atol=1e-6)
+    assert not np.allclose(out[:5, :5], img[:5, :5])
+    assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+
+    zm = ZeroMaskPatchedImage(patch_size=10, mask_ratio=0.5)
+    masked = zm(img)
+    tiles = masked.reshape(4, 10, 4, 10, 3).swapaxes(1, 2).reshape(16, -1)
+    zeroed = (np.abs(tiles).sum(-1) == 0).sum()
+    assert zeroed == 8  # 50% of 16 tiles
+
+
+def test_flips_keep_pixmap_consistent():
+    from neural_jacobian_field_tpu.data import random_horizontal_flip, random_vertical_flip
+
+    img = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+    pix = np.stack(np.meshgrid(np.arange(4), np.arange(3), indexing="xy"), -1).astype(np.float32)
+    (out,), pm = random_horizontal_flip([img], pix, p=1.1)
+    assert out[0, 0, 0] == img[0, -1, 0]
+    assert pm[..., 0].max() == 3 and pm[0, 0, 0] == 3
+    (out2,), pm2 = random_vertical_flip([img], pix, p=1.1)
+    assert out2[0, 0, 0] == img[-1, 0, 0]
