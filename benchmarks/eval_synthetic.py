@@ -119,7 +119,12 @@ def main():
         # column NORMS: |J_d| = QPOS_GAIN * span_d * dataparser_scale on the
         # robot, 0 in the background (raw dq = normalized action * span).
         j_true_norm = QPOS_GAIN * span[:3] * scale
-        mask = acc > 0.5
+        # robot pixels = where the ground-truth flow lives (opacity alone
+        # also selects learned background media with J ~ 0)
+        if "flow" in item:
+            mask = (np.linalg.norm(item["flow"], axis=-1) > 1e-6) & (acc > 0.5)
+        else:
+            mask = acc > 0.5
         if mask.sum() > 0:
             pred_norm = np.linalg.norm(j_map[mask][:, :3], axis=-1)  # [N, 3]
             j_errs.append(float(np.abs(pred_norm - j_true_norm).mean()

@@ -131,8 +131,14 @@ def make_synthetic_scene(
 
     frames = []
     total = num_trajs * frames_per_traj
+    rng_tracks = np.random.default_rng(seed + 1)
     for cam_idx, c2w in enumerate(cam2worlds):
         for traj in range(num_trajs):
+            # TAPIR-style track files: on-sphere pixels of frame 0 tracked
+            # analytically across the trajectory + background negatives
+            # (io_utils.load_tapir_tracks format: point_track_data [N, T, 2]
+            # xy, pixel_visible_mask [N, T], negative_yx [M, 2])
+            track_points = None
             for f in range(frames_per_traj):
                 q = qpos_all[(traj, f)]
                 center = sphere_center(q)
@@ -158,6 +164,36 @@ def make_synthetic_scene(
                     np.savez_compressed(
                         root / f"flow/view_{cam_idx}/{traj:05d}_{f:05d}_{flow_type}.npz",
                         flow=flow,
+                    )
+
+                if track_points is None:
+                    ys, xs = np.nonzero(hit)
+                    if len(ys) > 0:
+                        sel = rng_tracks.permutation(len(ys))[:24]
+                        track_pts_world = points[ys[sel], xs[sel]]  # on-sphere
+                        track_offsets = track_pts_world - center
+                        bg_ys, bg_xs = np.nonzero(~hit)
+                        neg = rng_tracks.permutation(len(bg_ys))[:16]
+                        negative_yx = np.stack(
+                            [bg_ys[neg], bg_xs[neg]], -1).astype(np.float32)
+                        tracks = np.zeros((len(sel), frames_per_traj, 2), np.float32)
+                        visible = np.ones((len(sel), frames_per_traj), np.float32)
+                        for t_idx in range(frames_per_traj):
+                            c_t = sphere_center(qpos_all[(traj, t_idx)])
+                            uv = _project(track_offsets + c_t, c2w, fx, fy, cx, cy)
+                            tracks[:, t_idx] = uv
+                            inside = ((uv[:, 0] >= 0) & (uv[:, 0] < width)
+                                      & (uv[:, 1] >= 0) & (uv[:, 1] < height))
+                            visible[:, t_idx] = inside.astype(np.float32)
+                        track_points = (tracks, visible, negative_yx)
+                        (root / "tapir" / f"view_{cam_idx}").mkdir(
+                            parents=True, exist_ok=True)
+                if track_points is not None:
+                    np.savez_compressed(
+                        root / f"tapir/view_{cam_idx}/{traj:05d}_{f:05d}.npz",
+                        point_track_data=track_points[0],
+                        pixel_visible_mask=track_points[1],
+                        negative_yx=track_points[2],
                     )
 
                 frames.append({

@@ -202,3 +202,29 @@ def test_flips_keep_pixmap_consistent():
     assert pm[..., 0].max() == 3 and pm[0, 0, 0] == 3
     (out2,), pm2 = random_vertical_flip([img], pix, p=1.1)
     assert out2[0, 0, 0] == img[-1, 0, 0]
+
+
+def test_tracks_supervision_end_to_end(tmp_path):
+    """action_supervision_type=tracks must produce selector/motion/mask items
+    from the synthetic TAPIR files (dataset.py:492-552 semantics)."""
+    root = tmp_path / "track_scene"
+    make_synthetic_scene(root, num_cameras=2, num_trajs=2, frames_per_traj=3,
+                         height=32, width=40, action_dim=3)
+    cfg = make_cfg(root, mode="action", supervision="tracks")
+    cfg.max_num_frames_per_traj = 3
+    cfg.num_positive_samples = 10
+    cfg.num_negative_samples = 8
+    ds = get_dataset(cfg, "train")
+    item = ds[0]
+    assert item["pixel_selector"].shape == (18,)
+    assert item["pixel_motion"].shape == (18, 2)
+    assert item["pixel_visible_mask"].shape == (18,)
+    # negatives carry zero motion and visible=1 (dataset.py:529-546)
+    assert np.allclose(item["pixel_motion"][-8:], 0.0)
+    assert np.all(item["pixel_visible_mask"][-8:] == 1.0)
+    # selectors address the flattened image
+    assert item["pixel_selector"].max() < 32 * 40
+    # loader pads/truncates to a fixed count
+    loader = DataLoader(ds, batch_size=2, num_tracks=16, num_workers=0)
+    batch = next(iter(loader))
+    assert batch.pixel_selector.shape == (2, 16)
