@@ -230,6 +230,13 @@ class ActionDecoderBase(nn.Module):
         )
         flow, action_features = self.compute_flow(action, dho, arm=arm)
 
+        # flax materializes params lazily: touch the arm head at init so its
+        # params exist even though training calls arm=False (the reference
+        # constructs both heads eagerly, action_decoder_jacobian.py:300-308)
+        if self.is_initializing() and self.cfg.use_arm_model and not arm:
+            arm_action = jnp.zeros((b, r * s, self.cfg.arm_action_dim))
+            self.compute_flow(arm_action, dho, arm=True)
+
         dirs = _normalized_directions(world_space_dir.reshape(b, r * s, 3))
         dir_features = sh_encoding_deg4(dirs)
         color = self.color_head(

@@ -117,3 +117,21 @@ def test_control_step_recovers_command():
     desired = jnp.einsum("ncs,c->ns", j, u_true)
     u = control_step(model, variables, x, yx, desired, damping=1e-8)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_true), atol=1e-3)
+
+
+def test_transformer_jacobian_trains(traj_root):
+    """DINO-style 2D model: decoder trains (ViT frozen) and flow loss drops."""
+    ds = Dataset2D(Dataset2DCfg(name="pusher", root=traj_root), "train")
+    model = TransformerJacobianField(cfg=TransformerJacobianFieldCfg(
+        vit=ViTCfg(patch_size=8, dim=32, depth=1, heads=2, pos_grid=4),
+        decoder_depth=2))
+    batch = collate_2d([ds[i] for i in range(6)])
+    cfg = Train2DCfg(lr=3e-3, warm_up_steps=10)
+    state = create_train_state_2d(jax.random.PRNGKey(0), model, batch, cfg)
+    step = make_train_step_2d(model, cfg, donate=False)
+    losses = []
+    for _ in range(40):
+        state, m = step(state, batch)
+        losses.append(float(m["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.7 * losses[0]

@@ -182,3 +182,37 @@ def test_step_schedules():
     a0, _, _ = step_schedules(jnp.asarray(0), jnp.asarray(1), cfg)
     a1, _, _ = step_schedules(jnp.asarray(10), jnp.asarray(1), cfg)
     assert float(a0) == 0.0 and float(a1) == pytest.approx(1.0)
+
+
+def test_arm_mode_second_head():
+    """use_arm_model adds a second Jacobian head with its own action dim;
+    arm=True routes through it (action_decoder_jacobian.py:86-90,300-308)."""
+    from neural_jacobian_field_tpu.models.decoders import (
+        ActionDecoderJacobianMlp, ActionDecoderJacobianMlpCfg, PixelEncoding,
+    )
+    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg
+
+    arm_dim = 7
+    dec = ActionDecoderJacobianMlp(
+        cfg=ActionDecoderJacobianMlpCfg(
+            mlp=MlpCfg(n_blocks=2, d_hidden=32), use_arm_model=True,
+            arm_action_dim=arm_dim),
+        action_dim=ACTION_DIM, encoder_dim=16,
+    )
+    b, r, s = 1, 2, 3
+    pe = PixelEncoding(
+        features=jnp.zeros((b, 8, 8, 16)),
+        extrinsics=jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        intrinsics=jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+        action=jnp.zeros((b, ACTION_DIM)),
+    )
+    xyz = jnp.zeros((b, r, s, 3))
+    dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (b, r, s, 3))
+    variables = dec.init(jax.random.PRNGKey(0), xyz, dirs, pe)
+    assert "jacobian_head_arm" in variables["params"]
+    out = dec.apply(variables, xyz, dirs, pe)
+    assert out.action_features.shape == (b, r, s, ACTION_DIM * 3)
+    # arm mode: J has arm_action_dim columns; needs an arm-sized action
+    pe_arm = pe.replace(action=jnp.zeros((b, arm_dim)))
+    out_arm = dec.apply(variables, xyz, dirs, pe_arm, arm=True)
+    assert out_arm.action_features.shape == (b, r, s, arm_dim * 3)
