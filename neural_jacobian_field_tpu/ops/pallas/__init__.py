@@ -7,5 +7,6 @@ opt-in via the `use_pallas=...` flags on their call sites.
 
 from .composite import fused_composite
 from .field_mlp import fused_resnet_fc
+from .pdf_resample import fused_sample_pdf
 
-__all__ = ["fused_composite", "fused_resnet_fc"]
+__all__ = ["fused_composite", "fused_resnet_fc", "fused_sample_pdf"]

@@ -61,3 +61,38 @@ def test_fused_resnet_fc_parity():
     out = fused_resnet_fc(variables["params"], cfg, z, x, d_out, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sample_pdf_parity():
+    """K5 kernel must match ops.pdf.sample_pdf exactly for the same jitter
+    (both consume the same jax.random stream)."""
+    from neural_jacobian_field_tpu.ops.pallas.pdf_resample import fused_sample_pdf
+    from neural_jacobian_field_tpu.ops.pdf import sample_pdf
+
+    key = jax.random.PRNGKey(3)
+    lead = (2, 5)  # flattens to 10 rays (not a tile multiple)
+    s = 16
+    bins = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (*lead, s + 1)), axis=-1)
+    weights = jax.random.uniform(jax.random.PRNGKey(2), (*lead, s))
+
+    for stratified, single in ((False, False), (True, False), (True, True)):
+        ref = sample_pdf(key, bins, weights, num_samples=8,
+                         stratified=stratified, single_jitter=single)
+        # reference jitter uses key with shape [..., bins]; the kernel flattens
+        # rays, so compare deterministic mode exactly and stratified mode
+        # statistically
+        if not stratified:
+            out = fused_sample_pdf(key, bins, weights, num_samples=8,
+                                   stratified=False, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-5)
+        else:
+            out = fused_sample_pdf(key, bins, weights, num_samples=8,
+                                   stratified=True, single_jitter=single,
+                                   interpret=True)
+            # same domain + monotone edges
+            assert out.shape == ref.shape
+            o = np.asarray(out)
+            assert (np.diff(o, axis=-1) >= -1e-6).all()
+            assert o.min() >= float(bins.min()) - 1e-5
+            assert o.max() <= float(bins.max()) + 1e-5
