@@ -111,17 +111,17 @@ def patch_render(
     )
     results = jax.lax.map(render_patch, chunks)
 
-    def unchunk(x, channels_last_shape):
+    def unchunk(x):
         x = x.swapaxes(0, 1).reshape(b, num_rays, *x.shape[3:])
         x = x[:, : render_height * render_width]
         return x.reshape(b, render_height, render_width, *x.shape[2:])
 
     rgb, depth, flow, feats, pos, pos_warped, weights, steps = results
     return RenderingOutput(
-        rgb=unchunk(rgb, 3), depth_raw=unchunk(depth, 1), flow_raw=unchunk(flow, 2),
-        action_features=unchunk(feats, None), ray_positions=unchunk(pos, 3),
-        ray_positions_warped=unchunk(pos_warped, 3), weights=unchunk(weights, None),
-        steps=unchunk(steps, None),
+        rgb=unchunk(rgb), depth_raw=unchunk(depth), flow_raw=unchunk(flow),
+        action_features=unchunk(feats), ray_positions=unchunk(pos),
+        ray_positions_warped=unchunk(pos_warped), weights=unchunk(weights),
+        steps=unchunk(steps),
     )
 
 
@@ -130,8 +130,6 @@ def _render_one_patch(model: Model, variables, camera_input: CameraInput,
                       pixel_encoding, origins, directions, z_near, z_far, key):
     """One jitted patch program (host-loop mode): proposal + decode +
     composite for a single ray chunk, context encoding precomputed."""
-    from ..models.decoders import PixelEncoding  # noqa: F401 (typing aid)
-
     ri = RenderingInput(origins=origins, directions=directions,
                         z_near=z_near, z_far=z_far)
     ctx = StepCtx(key=key, anneal=jnp.asarray(1.0), updated=jnp.asarray(True))
@@ -164,8 +162,6 @@ def render_camera_host_loop(model: Model, variables, camera_input: CameraInput,
     reference's Python-loop strategy, models/model.py:561-596). Same output
     as render_camera; preferable where very large single programs are
     undesirable (remote compile services, memory-limited compiles)."""
-    import numpy as np
-
     b = camera_input.trgt_extrinsics.shape[0]
     intr = camera_input.trgt_intrinsics
     norm = jnp.array([[1.0 / width, 1.0, 1.0 / width],

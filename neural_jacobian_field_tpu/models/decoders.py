@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.activations import density_activation
-from ..ops.encodings import nerf_encoding_dim, nerf_positional_encoding, sh_encoding_deg4
+from ..ops.encodings import nerf_positional_encoding, sh_encoding_deg4
 from . import initializers as init
 from .pixel_aligned import get_pixel_aligned_features
 from .resnet_fc import MlpCfg, ResnetFC
@@ -130,8 +130,8 @@ def _normalized_directions(directions: jax.Array) -> jax.Array:
 
 def _trunk_cls(remat: bool):
     """ResnetFC, optionally rematerialized (activations of the B*R*S point
-    evals recomputed in backward instead of stored — compute_features is the
-    only static arg, index 3 counting self)."""
+    evals recomputed in backward instead of stored). compute_features is the
+    only static arg (flax numbers remat static_argnums past self)."""
     return nn.remat(ResnetFC, static_argnums=(2,)) if remat else ResnetFC
 
 
@@ -323,7 +323,6 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
         )
         self._activation = density_activation("trunc_exp")
 
-        pe_dim = nerf_encoding_dim(3, cfg.num_frequencies)
         self.jacobian_index_embedding = self.param(
             "jacobian_index_embedding", nn.initializers.normal(1.0),
             (1, self.action_dim, tcfg.attn_feat_dim),
@@ -350,7 +349,6 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
                 name="jacobian_head_arm",
             )
         self.color_head = _ColorHead(compute_dtype=self.compute_dtype, name="color_head")
-        del pe_dim
 
     def compute_jacobian(self, dho: DensityHeadOutput, arm: bool = False) -> jax.Array:
         if arm:
