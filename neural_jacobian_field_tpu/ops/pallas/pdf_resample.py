@@ -8,7 +8,11 @@ replaced by one-hot reductions (Mosaic has no gather): the [Q, S+1] one-hot
 masks contract against the CDF/bin rows on the VPU.
 
 Jitter `u` is passed in (computed with jax.random outside) so the kernel is
-bit-comparable with the XLA reference.
+bit-comparable with the XLA reference in interpret mode. On real TPUs the
+MXU-matmul cumsum accumulates in a different order than jnp.cumsum, so
+bin-boundary ties can resolve to the adjacent bin — outputs differ by at most
+one bin width and are distributionally equivalent (hence opt-in via
+`use_pallas` at the call site).
 """
 
 import functools

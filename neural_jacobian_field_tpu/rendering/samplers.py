@@ -161,19 +161,32 @@ def pdf_sample(
     single_jitter: bool = False,
     include_original: bool = False,
     histogram_padding: float = 0.01,
+    use_pallas: bool = False,
 ) -> RaySamples:
-    """PDF resampling in spacing coordinates (ray_samplers.py:326-451)."""
+    """PDF resampling in spacing coordinates (ray_samplers.py:326-451).
+
+    use_pallas: fused K5 kernel (ops/pallas/pdf_resample.py) — same
+    distribution; boundary ties may resolve to the adjacent bin on TPU."""
     existing_bins = sdist_edges(ray_samples)
-    bins = sample_pdf(
-        key,
-        existing_bins,
-        weights[..., 0],
-        num_samples=num_samples,
-        stratified=stratified,
-        single_jitter=single_jitter,
-        include_original=include_original,
-        histogram_padding=histogram_padding,
-    )
+    if use_pallas and not include_original:
+        from ..ops.pallas.pdf_resample import fused_sample_pdf
+
+        bins = fused_sample_pdf(
+            key, existing_bins, weights[..., 0], num_samples=num_samples,
+            stratified=stratified, single_jitter=single_jitter,
+            histogram_padding=histogram_padding,
+        )
+    else:
+        bins = sample_pdf(
+            key,
+            existing_bins,
+            weights[..., 0],
+            num_samples=num_samples,
+            stratified=stratified,
+            single_jitter=single_jitter,
+            include_original=include_original,
+            histogram_padding=histogram_padding,
+        )
     return _from_spacing_bins(
         ray_bundle, bins, ray_samples.spacing, ray_samples.s_near, ray_samples.s_far
     )
