@@ -122,3 +122,70 @@ def test_port_roundtrip_mlp(decoder):
         np.testing.assert_allclose(ported[k], v, atol=0,
                                    err_msg=f"mismatch at {k}")
     assert not missing, f"unported params: {missing[:8]}"
+
+
+def test_resnet_fc_matches_torch_reference():
+    """Numerical fidelity: a torch implementation of the reference trunk
+    (model_components/resnet_fc.py:40-154 semantics — linear-in, residual
+    blocks with zero-init second linear, additive latent injection for the
+    first combine_layer blocks, activation+linear out) must produce the SAME
+    outputs as our Flax ResnetFC under ported weights."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg, ResnetFC
+
+    d_in, d_latent, d_hidden, d_out, n_blocks, combine = 9, 12, 16, 5, 4, 2
+
+    class TorchResnetFC(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin_in = tnn.Linear(d_in, d_hidden)
+            self.lin_out = tnn.Linear(d_hidden, d_out)
+            self.blocks = tnn.ModuleList([
+                tnn.ModuleDict({"fc_0": tnn.Linear(d_hidden, d_hidden),
+                                "fc_1": tnn.Linear(d_hidden, d_hidden)})
+                for _ in range(n_blocks)])
+            self.lin_z = tnn.ModuleList(
+                [tnn.Linear(d_latent, d_hidden) for _ in range(combine)])
+            self.act = tnn.ReLU()
+
+        def forward(self, z, x):
+            x = self.lin_in(x)
+            for i, blk in enumerate(self.blocks):
+                if i < combine:
+                    x = x + self.lin_z[i](z)
+                net = blk["fc_0"](self.act(x))
+                dx = blk["fc_1"](self.act(net))
+                x = x + dx
+            return self.lin_out(self.act(x))
+
+    tmodel = TorchResnetFC().double()
+    rng = np.random.default_rng(0)
+    z_np = rng.normal(size=(7, d_latent))
+    x_np = rng.normal(size=(7, d_in))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(z_np), torch.from_numpy(x_np)).numpy()
+
+    # port torch weights into the flax tree (Linear [out,in] -> [in,out])
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = {
+        "lin_in": {"kernel": sd["lin_in.weight"].T, "bias": sd["lin_in.bias"]},
+        "lin_out": {"kernel": sd["lin_out.weight"].T, "bias": sd["lin_out.bias"]},
+    }
+    for i in range(n_blocks):
+        params[f"blocks_{i}_fc_0"] = {"kernel": sd[f"blocks.{i}.fc_0.weight"].T,
+                                      "bias": sd[f"blocks.{i}.fc_0.bias"]}
+        params[f"blocks_{i}_fc_1"] = {"kernel": sd[f"blocks.{i}.fc_1.weight"].T,
+                                      "bias": sd[f"blocks.{i}.fc_1.bias"]}
+    for i in range(combine):
+        params[f"lin_z_{i}"] = {"kernel": sd[f"lin_z.{i}.weight"].T,
+                                "bias": sd[f"lin_z.{i}.bias"]}
+    params = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), params)
+
+    fmodel = ResnetFC(cfg=MlpCfg(n_blocks=n_blocks, d_hidden=d_hidden,
+                                 combine_layer=combine), d_out=d_out,
+                      d_latent=d_latent)
+    out, _ = fmodel.apply({"params": params}, jnp.asarray(z_np, jnp.float32),
+                          jnp.asarray(x_np, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
