@@ -49,6 +49,9 @@ class TrainingCfg:
     loss: LossCfg = field(default_factory=LossCfg)
     # bfloat16 compute for encoder/MLP trunks (f32 params)
     compute_dtype: Optional[str] = None
+    # train steps executed per device dispatch (lax.scan); >1 amortizes
+    # dispatch latency on remote-TPU setups
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

@@ -58,17 +58,37 @@ class DevicePrefetcher:
 
         self._q = queue.Queue(maxsize=depth)
         self._err = []
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for batch in host_iter:
-                    self._q.put(shard_batch(batch, mesh, axis))
+                    staged = shard_batch(batch, mesh, axis)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except Exception as e:  # surfaced on next()
                 self._err.append(e)
                 self._q.put(None)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self):
+        """Stop the staging thread (call when training ends — a daemon thread
+        blocked inside a device_put during interpreter teardown aborts)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5.0)
 
     def __iter__(self):
         return self

@@ -27,7 +27,8 @@ from .config.common import PipelineCfg
 from .data import DataLoader, get_dataset
 from .models.model import Model
 from .parallel import DevicePrefetcher, make_mesh, replicate, shard_batch
-from .training import TrainCfg, create_train_state, make_train_step
+from .training import (TrainCfg, create_train_state, make_multi_train_step,
+                       make_train_step, stack_batches)
 from .training.checkpoint import CheckpointManager, load_params_only
 from .utils import MetricsLogger, maybe_init_wandb
 
@@ -75,30 +76,45 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     wandb_run = maybe_init_wandb(cfg.wandb)
     logger = MetricsLogger(log_dir=log_dir or Path("logs"), wandb_run=wandb_run)
 
-    step_fn = make_train_step(model, tcfg)
+    spc = max(int(cfg.training.steps_per_call), 1)
+    if spc > 1:
+        step_fn = make_multi_train_step(model, tcfg, steps_per_call=spc)
+        host_iter = iter(loader)
+        stacked_iter = (stack_batches([next(host_iter) for _ in range(spc)])
+                        for _ in iter(int, 1))
+        device_iter = DevicePrefetcher(stacked_iter, mesh, depth=2)
+    else:
+        step_fn = make_train_step(model, tcfg)
+        device_iter = DevicePrefetcher(loader, mesh, depth=2)
     max_steps = max_steps_override or cfg.training.max_steps
-    print(f"starting training for {max_steps} steps", flush=True)
+    print(f"starting training for {max_steps} steps "
+          f"({spc} per dispatch)", flush=True)
     key = jax.random.PRNGKey(cfg.seed + 1)
     t_last, n_last = time.time(), 0
-    device_iter = DevicePrefetcher(loader, mesh, depth=2)
     raw = None
-    for i in range(max_steps):
+    i = 0
+    while i < max_steps:
         key, sub = jax.random.split(key)
         batch = next(device_iter)
-        raw = batch  # last batch (device-resident) reused for validation
+        raw = batch  # last (stacked) batch reused for validation when spc == 1
         state, metrics = step_fn(state, batch, sub)
-        if i == 0:
+        first = i == 0
+        i += spc
+        if first:
             jax.block_until_ready(metrics["loss/total"])
             print("first step compiled + executed", flush=True)
-        if (i + 1) % 100 == 0:
+        if (i // spc) % max(100 // spc, 1) == 0:
             metrics = jax.device_get(metrics)
+            metrics = jax.tree.map(lambda x: x[-1] if getattr(x, "ndim", 0) else x,
+                                   metrics)
             dt = time.time() - t_last
-            rays = (i + 1 - n_last) * batch_size * tcfg.rays_per_batch
-            logger.log(i + 1, {**metrics, "perf/rays_per_sec": rays / dt})
-            t_last, n_last = time.time(), i + 1
-        if cfg.training.val_check_interval and (i + 1) % cfg.training.val_check_interval == 0:
-            _run_validation(model, state, raw, cfg, logger, wandb_run, step=i + 1)
+            rays = (i - n_last) * batch_size * tcfg.rays_per_batch
+            logger.log(i, {**metrics, "perf/rays_per_sec": rays / dt})
+            t_last, n_last = time.time(), i
+        if cfg.training.val_check_interval and spc == 1 and i % cfg.training.val_check_interval == 0:
+            _run_validation(model, state, raw, cfg, logger, wandb_run, step=i)
         ckpt.maybe_save(state)
+    device_iter.close()
     ckpt.wait()
     logger.close()
     return state

@@ -7,4 +7,6 @@ from .train import (
     trainable_mask,
     create_train_state,
     make_train_step,
+    make_multi_train_step,
+    stack_batches,
 )

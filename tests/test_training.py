@@ -159,3 +159,39 @@ def test_remat_matches_baseline():
         state, m = step(state, raw, jax.random.PRNGKey(7))
         losses[remat] = float(m["loss/total"])
     assert losses[False] == pytest.approx(losses[True], rel=1e-5)
+
+
+def test_multi_step_matches_sequential():
+    """K scanned steps must equal K sequential steps given the same keys."""
+    from neural_jacobian_field_tpu.training import make_multi_train_step, stack_batches
+
+    model = tiny_model()
+    cfg = TrainCfg(mode="perception", rays_per_batch=16, lr=1e-3, warm_up_steps=5)
+    batches = [tiny_batch(jax.random.PRNGKey(i)) for i in range(3)]
+    state0 = create_train_state(jax.random.PRNGKey(1), model, batches[0], cfg)
+
+    key = jax.random.PRNGKey(42)
+    # sequential reference
+    step = make_train_step(model, cfg, donate=False)
+    state_seq = state0
+    keys = jax.random.split(key, 3)
+    for b, k in zip(batches, keys):
+        state_seq, m_seq = step(state_seq, b, k)
+
+    # one scanned dispatch
+    multi = make_multi_train_step(model, cfg, steps_per_call=3, donate=False)
+    state_multi, metrics = multi(state0, stack_batches(batches), key)
+
+    assert int(state_multi.step) == int(state_seq.step) == 3
+    assert int(state_multi.steps_since_update) == int(state_seq.steps_since_update)
+    assert metrics["loss/total"].shape == (3,)
+    # different compiled programs reassociate float reductions; the
+    # trajectories agree to fusion-order noise, the step logic exactly
+    np.testing.assert_allclose(float(metrics["loss/total"][-1]),
+                               float(m_seq["loss/total"]), rtol=1e-2)
+    # Adam normalizes by sqrt(v): on near-zero-init params tiny numeric noise
+    # flips update signs, so per-leaf agreement is bounded by O(lr * steps)
+    for a, b_ in zip(jax.tree.leaves(state_seq.params),
+                     jax.tree.leaves(state_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0.05, atol=3 * 1e-3)
