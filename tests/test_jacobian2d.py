@@ -135,3 +135,36 @@ def test_transformer_jacobian_trains(traj_root):
         losses.append(float(m["train/loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.7 * losses[0]
+
+
+def test_planar_hand_variant_with_resize(tmp_path):
+    """planar_hand dataset: 4-command bounds + resize path (flow magnitudes
+    rescale with resolution, planar_hand_dataset.py semantics)."""
+    root = tmp_path / "ph"
+    make_synthetic_trajectories(root, num_trajs=2, num_steps=4, height=H,
+                                width=W, command_dim=4)
+    ds = Dataset2D(Dataset2DCfg(name="planar_hand", command_dim=4,
+                                root=root, resize_hw=(16, 16)), "train")
+    item = ds[0]
+    assert item["input_frame_curr"].shape == (16, 16, 3)
+    assert item["trgt_flow_curr"].shape == (16, 16, 2)
+    assert item["input_command"].shape == (4,)
+    # resize halves the flow magnitudes (32 -> 16)
+    ds_full = Dataset2D(Dataset2DCfg(name="planar_hand", command_dim=4,
+                                     root=root), "train")
+    full = ds_full._load(0)["flow"]
+    small = ds._load(0)["flow"]
+    np.testing.assert_allclose(np.abs(small).max(), np.abs(full).max() / 2,
+                               rtol=0.2)
+    # trains end to end
+    model = UnetJacobianField(cfg=UnetJacobianFieldCfg(command_dim=4, start_filts=8))
+    batch = collate_2d([ds[i] for i in range(6)])
+    cfg = Train2DCfg(lr=3e-3, warm_up_steps=10)
+    state = create_train_state_2d(jax.random.PRNGKey(0), model, batch, cfg)
+    step = make_train_step_2d(model, cfg, donate=False)
+    l0 = lN = None
+    for i in range(30):
+        state, m = step(state, batch)
+        lN = float(m["train/loss"])
+        l0 = l0 if l0 is not None else lN
+    assert np.isfinite(lN) and lN < l0
