@@ -17,7 +17,7 @@ dataset.mode=action checkpoint.load=...`, README.md:124-133):
 import dataclasses
 import typing
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Sequence, Tuple, Union
 
 import yaml
 

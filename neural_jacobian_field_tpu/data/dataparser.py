@@ -9,10 +9,9 @@ and auto-scaled to the unit box. Output arrays feed the host data pipeline.
 """
 
 import json
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

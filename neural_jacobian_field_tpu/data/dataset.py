@@ -10,14 +10,14 @@ dataset_hsa.py / dataset_pneumatic.py.
 """
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from . import conventions as cv
-from .dataparser import DataparserConfig, DataparserOutputs, merge_dataparser_outputs, parse_transforms
+from .dataparser import DataparserConfig, merge_dataparser_outputs, parse_transforms
 
 
 @dataclass

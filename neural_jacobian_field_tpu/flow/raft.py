@@ -22,7 +22,6 @@ TPU design notes:
     checkpoint file).
 """
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -7,7 +7,6 @@ replaced by our config loader + orbax restore).
 """
 
 import json
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -15,7 +14,7 @@ import numpy as np
 
 from ..config import get_typed_root_config, load_config
 from ..data.conventions import normalize_intrinsics, post_process_camera_to_world
-from ..models.model import Model, ModelCfg
+from ..models.model import Model
 from ..training.checkpoint import load_params_only
 
 

@@ -19,7 +19,6 @@ import numpy as np
 from ..models.model import (
     CameraInput,
     Model,
-    ModelInput,
     RenderingInput,
     RobotInput,
     StepCtx,

@@ -12,7 +12,7 @@ einsum contracts the command axis per pixel (one fused VPU pass).
 """
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.struct
 import jax

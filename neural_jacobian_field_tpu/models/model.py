@@ -22,7 +22,6 @@ from ..rendering.geometry import project_world_coords_to_camera
 from ..rendering.samplers import (
     ProposalSamplerCfg,
     RayBundle,
-    RaySamples,
     proposal_anneal,
     proposal_sample,
     sdist_edges,

@@ -13,7 +13,6 @@ Tiling: points on the sublane axis (tile 256), d_hidden=128 on the lane axis
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ from .config import get_typed_root_config, load_config
 from .config.common import PipelineCfg
 from .data import DataLoader, get_dataset
 from .models.model import Model
-from .parallel import DevicePrefetcher, make_mesh, replicate, shard_batch
+from .parallel import DevicePrefetcher, make_mesh, replicate
 from .training import (TrainCfg, create_train_state, make_multi_train_step,
                        make_train_step, stack_batches)
 from .training.checkpoint import CheckpointManager, load_params_only

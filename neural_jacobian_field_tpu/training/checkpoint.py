@@ -11,9 +11,8 @@ model_wrapper.py:553-573):
 """
 
 from pathlib import Path
-from typing import Any, Optional, Tuple
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.decoders import action_param_pattern
-from ..models.model import Model, ModelInput, StepCtx, step_schedules
+from ..models.model import Model, StepCtx, step_schedules
 from .losses import LossCfg, action_loss, perception_loss
 from .prepare import RawBatch, prepare_training_batch
 
