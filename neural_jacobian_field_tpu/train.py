@@ -77,6 +77,9 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     logger = MetricsLogger(log_dir=log_dir or Path("logs"), wandb_run=wandb_run)
 
     spc = max(int(cfg.training.steps_per_call), 1)
+    if spc > 1 and cfg.training.val_check_interval:
+        print("note: validation videos are disabled when steps_per_call > 1 "
+              "(set training.steps_per_call=1 for validation runs)", flush=True)
     if spc > 1:
         step_fn = make_multi_train_step(model, tcfg, steps_per_call=spc)
         host_iter = iter(loader)
