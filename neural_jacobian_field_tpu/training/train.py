@@ -37,6 +37,9 @@ class TrainCfg:
     warm_up_steps: int = 10000
     rays_per_batch: int = 256
     loss: LossCfg = field(default_factory=LossCfg)
+    # per-step min/max of every model input/target tensor (the reference's
+    # sanity/* stream, model_wrapper.py:164-173 + logging_utils.py:6-19)
+    log_sanity: bool = False
 
 
 @flax.struct.dataclass
@@ -163,6 +166,14 @@ def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True):
                 loss, metrics = perception_loss(out, mt, cfg.loss)
             else:
                 loss, metrics = action_loss(out, mt, cfg.loss)
+            if cfg.log_sanity:
+                from ..utils.logging import get_sanity_metrics_traced
+
+                metrics = {**metrics,
+                           **{f"sanity/input_{k}": v for k, v in
+                              get_sanity_metrics_traced(mi).items()},
+                           **{f"sanity/target_{k}": v for k, v in
+                              get_sanity_metrics_traced(mt).items()}}
             return loss, (metrics, updates.get("batch_stats"))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -17,22 +17,41 @@ import numpy as np
 
 
 def get_sanity_metrics(tree, prefix: str = "") -> Dict[str, float]:
-    """Min/max of every float array leaf (logging_utils.py:6-19)."""
+    """Min/max of every float array leaf (logging_utils.py:6-19). Host-side."""
     out = {}
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for path, leaf in flat:
+    for name, leaf in _float_leaves(tree, prefix):
+        arr = np.asarray(leaf)
+        out[f"{name}_min"] = float(arr.min())
+        out[f"{name}_max"] = float(arr.max())
+    return out
+
+
+def get_sanity_metrics_traced(tree, prefix: str = ""):
+    """jit-safe variant: returns traced scalar min/max per float leaf (for
+    merging into train-step metrics)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for name, leaf in _float_leaves(tree, prefix):
+        out[f"{name}_min"] = jnp.min(leaf)
+        out[f"{name}_max"] = jnp.max(leaf)
+    return out
+
+
+def _float_leaves(tree, prefix: str = ""):
+    import jax.numpy as jnp
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if leaf is None:
             continue
-        arr = np.asarray(leaf)
-        if not np.issubdtype(arr.dtype, np.floating):
+        dtype = getattr(leaf, "dtype", None)
+        if dtype is None or not jnp.issubdtype(dtype, jnp.floating):
             continue
         name = prefix + "_".join(
             str(getattr(p, "name", getattr(p, "key", getattr(p, "idx", p))))
             for p in path
         )
-        out[f"{name}_min"] = float(arr.min())
-        out[f"{name}_max"] = float(arr.max())
-    return out
+        yield name, leaf
 
 
 class MetricsLogger:

@@ -67,3 +67,15 @@ def test_device_prefetcher_order_and_errors():
         assert False, "expected the loader error to surface"
     except RuntimeError as e:
         assert "exploded" in str(e)
+
+
+def test_sanity_metrics_traced_in_jit():
+    from neural_jacobian_field_tpu.utils import get_sanity_metrics_traced
+
+    @jax.jit
+    def f(x):
+        return get_sanity_metrics_traced({"a": x, "ints": jnp.array([1, 2])})
+
+    out = f(jnp.array([3.0, -1.0]))
+    assert float(out["a_min"]) == -1.0 and float(out["a_max"]) == 3.0
+    assert not any("ints" in k for k in out)
