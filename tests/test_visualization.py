@@ -82,3 +82,34 @@ def test_cosine_smooth_and_pingpong():
     looped = ping_pong(video)
     assert looped.shape[0] == 8
     np.testing.assert_array_equal(looped[4], video[3])
+
+
+def test_render_interpolated_view_tiny():
+    """End-to-end validation-video path: interpolated cameras -> patch render
+    -> colormapped uint8 videos (model_wrapper.py:213-387)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_jacobian_field_tpu.visualization import render_interpolated_view
+    from tests.test_model import eval_ctx, tiny_cfg, tiny_inputs
+    from neural_jacobian_field_tpu.models import Model
+
+    model = Model(cfg=tiny_cfg("jacobian_mlp"))
+    mi = tiny_inputs(jax.random.PRNGKey(0), batch=1, rays=4, hw=32)
+    variables = model.init(jax.random.PRNGKey(1), mi, eval_ctx(), train=False)
+
+    c2w_b = np.eye(4, dtype=np.float32)
+    c2w_b[:3, 3] = [0.1, 0.0, -0.2]
+    videos = render_interpolated_view(
+        model, variables,
+        ctxt_rgb=np.asarray(mi.camera_input.input_image),
+        ctxt_extrinsics=np.eye(4, dtype=np.float32)[None],
+        ctxt_intrinsics=np.asarray(mi.camera_input.ctxt_intrinsics),
+        trgt_extrinsics=c2w_b[None],
+        trgt_intrinsics=np.asarray(mi.camera_input.trgt_intrinsics),
+        robot_action=np.zeros((1, 5), np.float32),
+        near=0.5, far=10.0, num_frames=3, height=16, width=16, patch_size=64,
+    )
+    for name in ("rgb", "depth", "optical_flow"):
+        assert videos[name].shape == (3, 16, 16, 3), name
+        assert videos[name].dtype == np.uint8
