@@ -223,3 +223,22 @@ def test_spmd_matches_single_device():
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_flow_mlp_action_training():
+    """The non-Jacobian baseline (flow conditioned on action) trains in
+    action mode with only flow_head params moving (action_decoder_flow.py)."""
+    model = tiny_model("flow_mlp")
+    raw = tiny_batch(jax.random.PRNGKey(0), mode="action")
+    cfg = TrainCfg(mode="action", rays_per_batch=32, lr=1e-3, warm_up_steps=2)
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    before = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, state.params))
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(3):
+        state, metrics = step(state, raw, jax.random.PRNGKey(11 + i))
+    assert np.isfinite(float(metrics["loss/flow"]))
+    after = flax.traverse_util.flatten_dict(jax.tree.map(np.asarray, state.params))
+    changed = {k for k in before if not np.allclose(before[k], after[k])}
+    assert changed
+    for k in changed:
+        assert k[0] == "decoder" and any("flow_head" in p for p in k), k
