@@ -230,9 +230,22 @@ def render_camera(model: Model, variables, camera_input: CameraInput,
     )
     if key is None:
         key = jax.random.PRNGKey(0)
-    return patch_render(model, variables, camera_input, ri, robot_input, key,
-                        patch_size=patch_size, render_height=height,
-                        render_width=width)
+    try:
+        return patch_render(model, variables, camera_input, ri, robot_input, key,
+                            patch_size=patch_size, render_height=height,
+                            render_width=width)
+    except jax.errors.JaxRuntimeError as e:
+        # very large monolithic programs can exceed compile-service / HBM
+        # limits (e.g. remote-TPU compile helpers); the host-loop path renders
+        # the same image with one small program per patch
+        if "compile" not in str(e).lower() and "memory" not in str(e).lower():
+            raise
+        print(f"render_camera: monolithic program failed to build "
+              f"({str(e).splitlines()[0][:80]}...); falling back to host-loop "
+              f"patch dispatch")
+        return render_camera_host_loop(model, variables, camera_input,
+                                       robot_input, z_near, z_far, height,
+                                       width, key=key, patch_size=patch_size)
 
 
 # -- host-side colormaps -------------------------------------------------------
