@@ -77,11 +77,14 @@ def main():
         return time.perf_counter() - t0
 
     # marginal per-step time cancels any fixed dispatch/transport overhead:
-    # per_step = (t(2k) - t(k)) / k
+    # per_step = (t(2k) - t(k)) / k; median of 3 estimates tames tunnel noise
     k = 10
-    t_k = run(k, 100)
-    t_2k = run(2 * k, 1000)
-    per_step = max((t_2k - t_k) / k, 1e-9)
+    estimates = []
+    for rep in range(3):
+        t_k = run(k, 100 + 10_000 * rep)
+        t_2k = run(2 * k, 1000 + 10_000 * rep)
+        estimates.append(max((t_2k - t_k) / k, 1e-9))
+    per_step = sorted(estimates)[1]
     rays_per_sec = BATCH * RAYS / per_step
     print(json.dumps({
         "metric": "train_rays_per_sec",
