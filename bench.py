@@ -64,27 +64,25 @@ def main():
     state = create_train_state(key, model, batch, cfg)
     step = make_train_step(model, cfg, donate=True)
 
-    # warmup / compile
+    # warmup / compile; device_get forces a REAL sync (on some remote-TPU
+    # transports block_until_ready resolves before compute completes, so any
+    # timing must end by pulling actual data)
     state, metrics = step(state, batch, jax.random.PRNGKey(10))
-    jax.block_until_ready(metrics["loss/total"])
+    float(metrics["loss/total"])
 
     def run(n, seed):
         nonlocal state
         t0 = time.perf_counter()
+        m = None
         for i in range(n):
-            state, metrics = step(state, batch, jax.random.PRNGKey(seed + i))
-        jax.block_until_ready(metrics["loss/total"])
+            state, m = step(state, batch, jax.random.PRNGKey(seed + i))
+        float(m["loss/total"])  # real sync
         return time.perf_counter() - t0
 
-    # marginal per-step time cancels any fixed dispatch/transport overhead:
-    # per_step = (t(2k) - t(k)) / k; median of 3 estimates tames tunnel noise
-    k = 10
-    estimates = []
-    for rep in range(3):
-        t_k = run(k, 100 + 10_000 * rep)
-        t_2k = run(2 * k, 1000 + 10_000 * rep)
-        estimates.append(max((t_2k - t_k) / k, 1e-9))
-    per_step = sorted(estimates)[1]
+    # chained steps (state feeds state) with one data pull at the end; the
+    # per-dispatch overhead is amortized across k steps
+    k = 12
+    per_step = run(k, 100) / k
     rays_per_sec = BATCH * RAYS / per_step
     print(json.dumps({
         "metric": "train_rays_per_sec",

@@ -24,12 +24,20 @@ import jax
 import jax.numpy as jnp
 
 
+def real_sync(x):
+    """Force actual completion by pulling data. On some remote-TPU transports
+    block_until_ready resolves before compute completes — device_get is the
+    only reliable sync."""
+    import numpy as np
+
+    return np.asarray(jax.device_get(x)).ravel()[:1]
+
+
 def marginal_time(run, k=10):
-    """run(n, seed) executes n chained iterations; returns seconds/iteration."""
+    """run(n, seed) executes n chained iterations ending in a real_sync;
+    returns seconds/iteration."""
     run(2, 0)  # warmup/compile
-    t_k = run(k, 100)
-    t_2k = run(2 * k, 1000)
-    return max((t_2k - t_k) / k, 1e-9)
+    return run(k, 100) / k
 
 
 def _setup(samples=(256, 256), rays=256, batch=7, hw=(480, 640), action_dim=8):
@@ -76,7 +84,7 @@ def bench_train(emit):
         m = None
         for i in range(n):
             state, m = step(state, raw, jax.random.PRNGKey(seed + i))
-        jax.block_until_ready(m["loss/total"])
+        real_sync(m["loss/total"])
         return time.perf_counter() - t0
 
     per = marginal_time(run)
@@ -102,7 +110,7 @@ def bench_render(emit):
                                           z_far=10.0, height=h, width=w,
                                           patch_size=2048,
                                           key=jax.random.PRNGKey(seed + i))
-        jax.block_until_ready(out.rgb)
+        real_sync(out.rgb)
         return time.perf_counter() - t0
 
     per = marginal_time(run, k=3)
@@ -135,7 +143,7 @@ def bench_field_queries(emit):
         for i in range(n):
             out = infer(a)
             a = jnp.full((1, 8), 0.01) + 1e-6 * jnp.mean(out) * jnp.ones((1, 8))
-        jax.block_until_ready(out)
+        real_sync(out)
         return time.perf_counter() - t0
 
     per = marginal_time(run, k=50)
@@ -163,7 +171,7 @@ def bench_inverse_dynamics(emit):
             out = optimize_actions(model, variables, enc, mi.camera_input,
                                    target, key=jax.random.PRNGKey(seed + i),
                                    num_iters=100)
-        jax.block_until_ready(out.action)
+        real_sync(out.action)
         return time.perf_counter() - t0
 
     per = marginal_time(run, k=5)
