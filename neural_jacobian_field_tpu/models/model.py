@@ -52,6 +52,9 @@ class RenderingCfg:
     use_proposal_weight_anneal: bool = True
     proposal_weights_anneal_max_num_iters: int = 1000
     proposal_weights_anneal_slope: float = 10.0
+    # fused K5 Pallas PDF resampling (9% step speedup measured; same
+    # distribution, bin-boundary ties may differ — ops/pallas/pdf_resample.py)
+    use_pallas_pdf: bool = False
 
 
 @dataclass(frozen=True)
@@ -213,6 +216,7 @@ class Model(nn.Module):
             num_nerf_samples=cfg.rendering.num_nerf_samples,
             single_jitter=cfg.rendering.single_jitter,
             initial_spacing="uniform",
+            use_pallas_pdf=cfg.rendering.use_pallas_pdf,
         )
 
     # -- building blocks ----------------------------------------------------

@@ -61,6 +61,8 @@ def fused_composite(densities: jax.Array, deltas: jax.Array, steps: jax.Array,
     Returns (weights [N, S], comp [N, C], depth [N, 1], accumulation [N, 1]).
     N is padded to a multiple of 8 internally.
     """
+    # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests)
+    interpret = interpret or jax.default_backend() != "tpu"
     n, s = densities.shape
     c = values.shape[-1]
     pad = (-n) % RAY_TILE

@@ -55,6 +55,8 @@ def fused_resnet_fc(params: dict, cfg: MlpCfg, z: jax.Array, x: jax.Array,
                     d_out: int, interpret: bool = False) -> jax.Array:
     """Evaluate ResnetFC params (the Flax param dict of models/resnet_fc.py)
     at latent z [N, Dz] + encoded coords x [N, Dx]. Returns [N, d_out]."""
+    # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests)
+    interpret = interpret or jax.default_backend() != "tpu"
     n, dz = z.shape
     dx = x.shape[-1]
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)

@@ -74,8 +74,8 @@ def _make_kernel(num_bins: int, histogram_padding: float, eps: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "stratified",
-                                             "single_jitter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_samples", "stratified", "single_jitter",
+                                             "histogram_padding", "eps", "interpret"))
 def fused_sample_pdf(
     key: jax.Array,
     existing_bins: jax.Array,
@@ -89,6 +89,8 @@ def fused_sample_pdf(
 ) -> jax.Array:
     """Pallas equivalent of ops.pdf.sample_pdf (flattens leading dims to a
     ray axis; returns the same [..., num_samples+1] gradient-stopped edges)."""
+    # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests)
+    interpret = interpret or jax.default_backend() != "tpu"
     num_bins = num_samples + 1
     lead = existing_bins.shape[:-1]
     s1 = existing_bins.shape[-1]

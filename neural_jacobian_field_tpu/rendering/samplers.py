@@ -171,8 +171,12 @@ def pdf_sample(
     if use_pallas and not include_original:
         from ..ops.pallas.pdf_resample import fused_sample_pdf
 
+        # resampled bins are gradient-stopped in all implementations
+        # (ray_samplers.py:441 bins.detach()); stopping the kernel INPUTS too
+        # keeps the un-differentiable pallas_call out of the autodiff graph
         bins = fused_sample_pdf(
-            key, existing_bins, weights[..., 0], num_samples=num_samples,
+            key, jax.lax.stop_gradient(existing_bins),
+            jax.lax.stop_gradient(weights[..., 0]), num_samples=num_samples,
             stratified=stratified, single_jitter=single_jitter,
             histogram_padding=histogram_padding,
         )
@@ -198,6 +202,8 @@ class ProposalSamplerCfg:
     num_nerf_samples: int = flax.struct.field(pytree_node=False, default=256)
     single_jitter: bool = flax.struct.field(pytree_node=False, default=False)
     initial_spacing: SpacingKind = flax.struct.field(pytree_node=False, default="uniform")
+    # route PDF resampling through the fused K5 Pallas kernel
+    use_pallas_pdf: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def proposal_anneal(step: jax.Array, max_num_iters: int, slope: float) -> jax.Array:
@@ -249,7 +255,7 @@ def proposal_sample(
             ray_samples = pdf_sample(
                 keys[i_level], ray_bundle, ray_samples, annealed, num_samples,
                 stratified=stratified, single_jitter=cfg.single_jitter,
-                include_original=False,
+                include_original=False, use_pallas=cfg.use_pallas_pdf,
             )
         if is_prop:
             density_live = density_fns[i_level](ray_samples.get_positions())

@@ -216,3 +216,26 @@ def test_arm_mode_second_head():
     pe_arm = pe.replace(action=jnp.zeros((b, arm_dim)))
     out_arm = dec.apply(variables, xyz, dirs, pe_arm, arm=True)
     assert out_arm.action_features.shape == (b, r, s, arm_dim * 3)
+
+
+def test_pallas_pdf_model_forward():
+    """model.rendering.use_pallas_pdf routes sampling through the K5 kernel
+    without changing output shapes/finiteness (distributionally equivalent)."""
+    import dataclasses
+
+    base = tiny_cfg("jacobian_mlp")
+    cfg = dataclasses.replace(base, rendering=dataclasses.replace(
+        base.rendering, use_pallas_pdf=True))
+    model = Model(cfg=cfg)
+    mi = tiny_inputs(jax.random.PRNGKey(1))
+    variables = model.init(jax.random.PRNGKey(0), mi, eval_ctx(), train=True)
+    out = model.apply(variables, mi, eval_ctx(), train=True)
+    assert out.rgb.shape == (2, 3, 3)
+    assert np.isfinite(np.asarray(out.rgb)).all()
+    # gradient flows (kernel inputs are stop-gradded, matching the reference's
+    # bins.detach() semantics)
+    def loss(p):
+        o = model.apply({"params": p}, mi, eval_ctx(), train=True)
+        return jnp.mean(o.rgb ** 2)
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
