@@ -97,7 +97,25 @@ def auto_orient_and_center_poses(poses: np.ndarray, method: str = "up",
     if method in ("up", "vertical"):
         up = poses[:, :3, 1].mean(0)
         up = up / np.linalg.norm(up)
+        if method == "vertical":
+            # nerfstudio camera_utils: estimate the true vertical as the
+            # direction most orthogonal to all camera x-axes (third right-
+            # singular vector), if it is well determined; keep the sign
+            # aligned with the mean up vector.
+            x_axes = poses[:, :3, 0]
+            _, s, vh = np.linalg.svd(x_axes, full_matrices=False)
+            if s[1] > 0.17 * np.sqrt(len(poses)):
+                vertical = vh[2, :]
+                up = vertical if float(vertical @ up) > 0 else -vertical
         rotation = _rotation_between(up, np.array([0.0, 0.0, 1.0]))
+    elif method == "pca":
+        # nerfstudio camera_utils: principal axes of the camera origins.
+        diffs = origins - mean_origin
+        _, eigvec = np.linalg.eigh(diffs.T @ diffs)
+        eigvec = np.flip(eigvec, axis=-1).copy()
+        if np.linalg.det(eigvec) < 0:
+            eigvec[:, 2] = -eigvec[:, 2]
+        rotation = eigvec.T
     elif method == "none":
         rotation = np.eye(3)
     else:
@@ -105,6 +123,9 @@ def auto_orient_and_center_poses(poses: np.ndarray, method: str = "up",
 
     transform = np.concatenate([rotation, rotation @ -translation[:, None]], axis=-1)
     oriented = np.einsum("ij,njk->nik", transform, poses)
+    if method == "pca" and oriented[:, 2, 1].mean() < 0:
+        # keep the mean camera up pointing to +Z (nerfstudio flips y and z)
+        oriented[:, 1:3] = -oriented[:, 1:3]
     out = np.broadcast_to(np.eye(4), (len(poses), 4, 4)).copy()
     out[:, :3, :4] = oriented[:, :3, :4]
     return out.astype(np.float32)
@@ -191,11 +212,25 @@ def parse_transforms(cfg: DataparserConfig) -> DataparserOutputs:
 
 def merge_dataparser_outputs(outputs: List[DataparserOutputs]) -> DataparserOutputs:
     """Multi-root merge (config_parser.py:430-536 + io_utils.combine_roots):
-    concatenates samples; cameras come from the first root."""
+    concatenates samples; cameras come from the first root (reference
+    behavior: `cameras=outputs[0].cameras`). Per-sample qpos vectors are
+    zero-padded to the longest root's action dimension
+    (io_utils.combine_roots:202-218), so robots with differing DoF counts can
+    be merged into one action space."""
     first = outputs[0]
+    max_len = max(
+        (len(next(iter(o.joint_positions.values()))) if o.joint_positions else 0)
+        for o in outputs
+    )
     joint_positions = {}
     for o in outputs:
-        joint_positions.update(o.joint_positions)
+        for key, value in o.joint_positions.items():
+            value = np.asarray(value)
+            if len(value) < max_len:
+                value = np.concatenate(
+                    [value, np.zeros(max_len - len(value), dtype=value.dtype)]
+                )
+            joint_positions[key] = value
     return DataparserOutputs(
         image_filenames=sum([o.image_filenames for o in outputs], []),
         depth_filenames=sum([o.depth_filenames for o in outputs], []),

@@ -125,5 +125,10 @@ def solve_actions_least_squares(
 
     jtj = jnp.einsum("brca,brcd->bad", jac, jac)
     jtr = jnp.einsum("brca,brc->ba", jac, resid)
-    jtj = jtj + damping * jnp.eye(action_dim)
+    # RELATIVE Tikhonov damping: scale by the mean diagonal of J^T J so the
+    # regularization strength is invariant to the field's flow magnitude (a
+    # barely-trained near-zero-init Jacobian would otherwise be drowned by an
+    # absolute lambda).
+    scale = jnp.trace(jtj, axis1=-2, axis2=-1)[..., None, None] / action_dim
+    jtj = jtj + (damping * scale + 1e-20) * jnp.eye(action_dim)
     return jnp.linalg.solve(jtj, jtr[..., None])[..., 0]

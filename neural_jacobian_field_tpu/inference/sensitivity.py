@@ -72,3 +72,87 @@ def compute_joint_sensitivity_point_cloud(jacobians: np.ndarray) -> np.ndarray:
     """[N, A, 3] per-point Jacobians -> [N, A] norms
     (jacobian_color_map.py:112-135)."""
     return np.linalg.norm(np.asarray(jacobians), axis=-1)
+
+
+def _normalize_image(image: np.ndarray) -> np.ndarray:
+    return (image - image.min()) / (image.max() - image.min() + 1e-12)
+
+
+def _resize_hw(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img.astype(np.float32), mode="F").resize(
+            (width, height), Image.BILINEAR
+        )
+    )
+
+
+def visualize_jacobian_chain_structure(
+    input_image: np.ndarray,
+    joint_sensitivity: np.ndarray,
+    joint_colors: np.ndarray,
+    links: range = range(1, 5),
+):
+    """Kinematic-chain overlay (jacobian_color_map.py:182-273).
+
+    For consecutive joints along a serial chain, the region moved by joint i
+    but NOT by joint i+1 is link i — the clipped sensitivity difference
+    isolates it; each link mask is colorized with its joint color and
+    alpha-composited over (a) the input image at 155/255 opacity and (b) a
+    white canvas. `links` defaults to the reference's 5-link toy arm
+    (hardcoded `range(1, 5)` there).
+
+    Args:
+      input_image: uint8 [H, W, 3].
+      joint_sensitivity: [A, h, w] in [0, 1] (compute_joint_sensitivity).
+      joint_colors: [A, 3] floats in [0, 1].
+
+    Returns: (overlay_rgba, white_bkgd_rgba) uint8 [H, W, 4].
+    """
+    from PIL import Image
+
+    height, width, _ = input_image.shape
+    sens = np.asarray(joint_sensitivity, dtype=np.float32)
+    joint_colors = np.asarray(joint_colors, dtype=np.float32)
+
+    diff_masks = []
+    projected_layers = []
+    last = links[-1] if len(links) else 0
+    for i in links:
+        prev_s = np.clip(sens[i], 0.10, 1.5)
+        next_s = np.clip(sens[i + 1], 0.10, 1.5)
+        diff = _normalize_image(np.clip(prev_s - next_s, 0.01, 1.0))
+        diff = _resize_hw(diff, height, width)
+        projected = diff[..., None] * joint_colors[i]
+        norm = _normalize_image(projected)
+        diff_masks.append(diff)
+        projected_layers.append((norm * 255).clip(0, 255).astype(np.uint8))
+
+    # terminal link: the last joint's own sensitivity (ref :236-247)
+    next_s = _resize_hw(np.clip(sens[last + 1], 0.10, 1.5), height, width)
+    diff_masks.append(next_s.copy())
+    next_s = _normalize_image(np.clip(next_s, 0.25, 1.0))
+    projected = next_s[..., None] * joint_colors[last + 1]
+    projected_layers.append(
+        (_normalize_image(projected) * 255).clip(0, 255).astype(np.uint8)
+    )
+
+    overlay = np.concatenate(
+        [input_image, np.full((height, width, 1), 155, np.uint8)], axis=-1
+    )
+    white = np.concatenate(
+        [np.full((height, width, 3), 255, np.uint8),
+         np.full((height, width, 1), 255, np.uint8)], axis=-1
+    )
+    canvas_overlay = Image.fromarray(overlay, mode="RGBA")
+    canvas_white = Image.fromarray(white, mode="RGBA")
+
+    for layer, diff in zip(projected_layers, diff_masks):
+        alpha = (np.clip(_normalize_image(diff) * 1.5, 0, 1) * 255).astype(np.uint8)
+        rgba = np.concatenate([layer, alpha[..., None]], axis=-1)
+        patch = Image.fromarray(rgba, mode="RGBA")
+        canvas_overlay.paste(patch, (0, 0), patch)
+        canvas_white.paste(patch, (0, 0), patch)
+
+    return np.asarray(canvas_overlay), np.asarray(canvas_white)

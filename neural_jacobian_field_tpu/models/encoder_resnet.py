@@ -34,6 +34,12 @@ class EncoderResnetCfg:
     num_layers: int = 4
     use_first_pool: bool = True
     norm_type: str = "group"  # batch | instance | group | none
+    # "pyramid": return a FeaturePyramid (layer2/3 kept at native resolution)
+    # for the K1 gather path (ops/pixel_gather.py) — the TPU-fast default.
+    # "concat": materialize the reference's upsampled 512-ch concat
+    # (encoder_resnet.py:78-86) — bit-path parity mode. Requires num_layers=4
+    # for "pyramid".
+    feature_layout: str = "pyramid"
 
 
 # ResNet-34 stage spec: (num_blocks, channels) per layer.
@@ -100,8 +106,11 @@ class BasicBlock(nn.Module):
 class EncoderResnet(nn.Module):
     """ResNet-34 multi-scale feature extractor.
 
-    __call__(rgb [B, H, W, 3]) -> [B, H/2, W/2, C_total] feature map.
-    C_total = 64 + sum of stage channels for stages < num_layers.
+    __call__(rgb [B, H, W, 3]) -> feature_layout="concat": one
+    [B, H/2, W/2, C_total] map (C_total = 64 + sum of stage channels for
+    stages < num_layers); feature_layout="pyramid": a FeaturePyramid
+    (ops/pixel_gather.py) with the same channels split across native
+    resolutions.
     """
 
     cfg: EncoderResnetCfg
@@ -115,7 +124,7 @@ class EncoderResnet(nn.Module):
         return dims
 
     @nn.compact
-    def __call__(self, rgb: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, rgb: jax.Array, train: bool = False):
         cfg = self.cfg
         dt = self.compute_dtype
         x = rgb.astype(dt) if dt is not None else rgb
@@ -146,15 +155,29 @@ class EncoderResnet(nn.Module):
                 )(x, train=train)
             latents.append(x)
 
-        # Upsample everything to conv1 resolution and concatenate
-        # (encoder_resnet.py:78-86; bilinear align_corners=False ==
-        # jax.image.resize "linear").
         target_hw = latents[0].shape[1:3]
-        resized = [latents[0]]
-        for lat in latents[1:]:
-            resized.append(
-                jax.image.resize(
-                    lat, (lat.shape[0], *target_hw, lat.shape[-1]), method="linear"
-                )
+
+        def up_to_fine(lat):
+            # encoder_resnet.py:78-86: bilinear align_corners=False ==
+            # jax.image.resize "linear".
+            return jax.image.resize(
+                lat, (lat.shape[0], *target_hw, lat.shape[-1]), method="linear"
             )
+
+        if cfg.feature_layout == "pyramid" and cfg.num_layers == 4:
+            # K1 layout: conv1 ++ up2(layer1) at conv1 res; layer2/3 native.
+            # Channel order matches the reference concat exactly, so trunk
+            # lin_z weights are interchangeable between layouts. (Other
+            # num_layers fall through to the concat layout — the pyramid
+            # split is a num_layers=4 optimization.)
+            from ..ops.pixel_gather import FeaturePyramid
+
+            return FeaturePyramid(
+                fine=jnp.concatenate([latents[0], up_to_fine(latents[1])], axis=-1),
+                mid=latents[2],
+                coarse=latents[3],
+            )
+
+        # "concat": materialize the reference's upsampled concat map.
+        resized = [latents[0]] + [up_to_fine(lat) for lat in latents[1:]]
         return jnp.concatenate(resized, axis=-1).astype(jnp.float32)

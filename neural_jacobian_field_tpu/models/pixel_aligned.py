@@ -11,12 +11,13 @@ and the bilinear lookup is the fused gather+lerp in ops/grid_sample.py; the
 projection matmuls are tiny and fuse into the surrounding graph.
 """
 
-from typing import Tuple
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.grid_sample import grid_sample_bilinear
+from ..ops.pixel_gather import PackedPyramid, pyramid_pixel_features
 from ..rendering.geometry import (
     homogenize_points,
     project_z_divide,
@@ -28,13 +29,15 @@ def get_pixel_aligned_features(
     coords_3d_world: jax.Array,
     cam2world: jax.Array,
     intrinsics: jax.Array,
-    img_features: jax.Array,
+    img_features: Union[jax.Array, PackedPyramid],
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Args:
       coords_3d_world: [B, N, 3] world points.
       cam2world: [B, 4, 4] context camera pose (OpenCV cam-to-world).
       intrinsics: [B, 3, 3] *normalized* intrinsics (pixels in [0, 1]).
-      img_features: [B, Hf, Wf, C] context feature map (NHWC).
+      img_features: [B, Hf, Wf, C] context feature map (NHWC), or the K1
+        PackedPyramid layout (ops/pixel_gather.py) sampled level-by-level at
+        native resolutions.
 
     Returns:
       features [B, N, C], camera-space xyz [B, N, 3], uv [B, N, 3]
@@ -44,8 +47,14 @@ def get_pixel_aligned_features(
     c3d_cam_hom = transform_world2cam(c3d_world_hom, cam2world[:, None])
     c2d_cam, _ = project_z_divide(c3d_cam_hom, intrinsics[:, None])
 
-    # [0, 1] -> [-1, 1] for the align_corners=True bilinear lookup.
-    c2d_norm = (c2d_cam[..., :2] - 0.5) * 2.0
-    feats = grid_sample_bilinear(img_features, c2d_norm)
+    if isinstance(img_features, PackedPyramid):
+        hf, wf = img_features.fine_hw
+        fx = c2d_cam[..., 0] * (wf - 1)
+        fy = c2d_cam[..., 1] * (hf - 1)
+        feats = pyramid_pixel_features(img_features, fx, fy)
+    else:
+        # [0, 1] -> [-1, 1] for the align_corners=True bilinear lookup.
+        c2d_norm = (c2d_cam[..., :2] - 0.5) * 2.0
+        feats = grid_sample_bilinear(img_features, c2d_norm)
 
     return feats, c3d_cam_hom[..., :3], c2d_cam

@@ -17,6 +17,21 @@ import jax.numpy as jnp
 from .pdf import searchsorted_right
 
 
+def _take_along_onehot(values: jax.Array, idx: jax.Array) -> jax.Array:
+    """take_along_axis(values, idx, -1) as a one-hot compare-reduce.
+
+    For short last axes (a few hundred bins) XLA's row gather is row-count
+    bound (~15 ns/row — benchmarks/k1_microbench.py); the dense compare+
+    reduce fuses on the VPU and is ~10x faster at [B, R, S] shapes
+    (measured: the interlevel gathers were 19.6 ms/step of the r2 trace).
+    """
+    k = values.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (*idx.shape, k), idx.ndim)
+    return jnp.sum(
+        jnp.where(lane == idx[..., None], values[..., None, :], 0.0), axis=-1
+    )
+
+
 def outer_measure(t0: jax.Array, t1: jax.Array, y1: jax.Array) -> jax.Array:
     """Sum of `y1` mass (over bins t1) covered by each bin of t0.
 
@@ -32,8 +47,8 @@ def outer_measure(t0: jax.Array, t1: jax.Array, y1: jax.Array) -> jax.Array:
     idx_hi = searchsorted_right(t1[..., 1:], t0[..., 1:])
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
 
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    cy1_lo = _take_along_onehot(cy1[..., :-1], idx_lo)
+    cy1_hi = _take_along_onehot(cy1[..., 1:], idx_hi)
     return cy1_hi - cy1_lo
 
 

@@ -76,10 +76,24 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     wandb_run = maybe_init_wandb(cfg.wandb)
     logger = MetricsLogger(log_dir=log_dir or Path("logs"), wandb_run=wandb_run)
 
+    # validation data: a length-1 random-sample wrapper over the VAL split
+    # (data/data_module.py:34-43 + validation_wrapper.py:6-23) — never the
+    # training batch, which could hide overfitting.
+    val_sampler = None
+    if cfg.training.val_check_interval:
+        from .data.loader import ValidationWrapper, collate
+
+        try:
+            val_sampler = ValidationWrapper(get_dataset(cfg.dataset, "val"),
+                                            seed=cfg.seed + 2)
+        except Exception as e:  # e.g. no val frames in a tiny synthetic root
+            print(f"val split unavailable ({e}); validating on train split")
+            val_sampler = ValidationWrapper(dataset, seed=cfg.seed + 2)
+
+        def next_val_batch():
+            return collate([val_sampler[0]], num_tracks=num_tracks)
+
     spc = max(int(cfg.training.steps_per_call), 1)
-    if spc > 1 and cfg.training.val_check_interval:
-        print("note: validation videos are disabled when steps_per_call > 1 "
-              "(set training.steps_per_call=1 for validation runs)", flush=True)
     if spc > 1:
         step_fn = make_multi_train_step(model, tcfg, steps_per_call=spc)
         host_iter = iter(loader)
@@ -94,14 +108,13 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
           f"({spc} per dispatch)", flush=True)
     key = jax.random.PRNGKey(cfg.seed + 1)
     t_last, n_last = time.time(), 0
-    raw = None
     i = 0
     while i < max_steps:
         key, sub = jax.random.split(key)
         batch = next(device_iter)
-        raw = batch  # last (stacked) batch reused for validation when spc == 1
         state, metrics = step_fn(state, batch, sub)
         first = i == 0
+        prev = i
         i += spc
         if first:
             jax.block_until_ready(metrics["loss/total"])
@@ -114,8 +127,13 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
             rays = (i - n_last) * batch_size * tcfg.rays_per_batch
             logger.log(i, {**metrics, "perf/rays_per_sec": rays / dt})
             t_last, n_last = time.time(), i
-        if cfg.training.val_check_interval and spc == 1 and i % cfg.training.val_check_interval == 0:
-            _run_validation(model, state, raw, cfg, logger, wandb_run, step=i)
+        # validate whenever a val_check_interval boundary was crossed in this
+        # dispatch (works for any steps_per_call — the scan simply pauses
+        # between dispatches; model_wrapper.py:190-213 cadence)
+        vci = cfg.training.val_check_interval
+        if vci and val_sampler is not None and (prev // vci) != (i // vci):
+            _run_validation(model, state, next_val_batch(), cfg, logger,
+                            wandb_run, step=i)
         ckpt.maybe_save(state)
     device_iter.close()
     ckpt.wait()

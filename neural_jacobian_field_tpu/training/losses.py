@@ -44,16 +44,21 @@ def perception_loss(out: ModelOutput, target: ModelTarget,
     dist = cfg.distortion_weight * distortion_loss(out.sdist_list, out.weights_list)
 
     total = rgb_loss + depth_loss + inter + dist
-    # depth distribution telemetry (model_wrapper.py:174-186)
+
+    # depth distribution telemetry (model_wrapper.py:174-186): the valid-
+    # depth stats mask out depth <= 0 first (static shapes => NaN masking)
+    valid = jnp.where(target.depth > 0, target.depth, jnp.nan)
     return total, {
         "loss/rgb": rgb_loss,
         "loss/depth": depth_loss,
         "loss/interlevel": inter,
         "loss/distortion": dist,
         "loss/total": total,
-        "depth/trgt_10_percentile": jnp.percentile(target.depth, 10.0),
-        "depth/trgt_90_percentile": jnp.percentile(target.depth, 90.0),
-        "depth/trgt_mean": jnp.mean(target.depth),
+        "depth/trgt_10_percentile": jnp.nanpercentile(valid, 10.0),
+        "depth/trgt_90_percentile": jnp.nanpercentile(valid, 90.0),
+        "depth/trgt_mean": jnp.nanmean(valid),
+        "depth/pred_10_percentile": jnp.percentile(out.depth, 10.0),
+        "depth/pred_90_percentile": jnp.percentile(out.depth, 90.0),
         "depth/pred_mean": jnp.mean(out.depth),
     }
 

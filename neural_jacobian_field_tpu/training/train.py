@@ -169,11 +169,14 @@ def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True):
             if cfg.log_sanity:
                 from ..utils.logging import get_sanity_metrics_traced
 
+                # inputs, targets AND model outputs (model_wrapper.py:164-172)
                 metrics = {**metrics,
                            **{f"sanity/input_{k}": v for k, v in
                               get_sanity_metrics_traced(mi).items()},
                            **{f"sanity/target_{k}": v for k, v in
-                              get_sanity_metrics_traced(mt).items()}}
+                              get_sanity_metrics_traced(mt).items()},
+                           **{f"sanity/output_{k}": v for k, v in
+                              get_sanity_metrics_traced(out).items()}}
             return loss, (metrics, updates.get("batch_stats"))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -69,7 +69,7 @@ def eval_ctx(key=None):
 
 
 def test_encoder_pyramid_dims():
-    cfg = EncoderResnetCfg(num_layers=4, norm_type="group")
+    cfg = EncoderResnetCfg(num_layers=4, norm_type="group", feature_layout="concat")
     enc = EncoderResnet(cfg=cfg)
     x = jnp.zeros((1, 64, 64, 3))
     variables = enc.init(jax.random.PRNGKey(0), x)
@@ -77,6 +77,12 @@ def test_encoder_pyramid_dims():
     # conv1(64) + layer1(64) + layer2(128) + layer3(256) = 512 at H/2 x W/2
     assert out.shape == (1, 32, 32, 512)
     assert EncoderResnet.output_dim(cfg) == 512
+    # default (pyramid) layout: same channels split across native resolutions
+    pyr = EncoderResnet(cfg=EncoderResnetCfg(num_layers=4, norm_type="group")
+                        ).apply(variables, x)
+    assert pyr.fine.shape == (1, 32, 32, 128)
+    assert pyr.mid.shape == (1, 8, 8, 128)
+    assert pyr.coarse.shape == (1, 4, 4, 256)
 
 
 def test_encoder_batchnorm_mutable():

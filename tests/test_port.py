@@ -189,3 +189,50 @@ def test_resnet_fc_matches_torch_reference():
     out, _ = fmodel.apply({"params": params}, jnp.asarray(z_np, jnp.float32),
                           jnp.asarray(x_np, jnp.float32))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_full_checkpoint_port_to_render_readiness(tmp_path):
+    """VERDICT r1 item 8: end-to-end fidelity-port readiness. Build a FULL
+    reference-architecture torch checkpoint file (PL-style {"state_dict":
+    {"model.*": tensors}}), load it through load_reference_checkpoint
+    (model_wrapper.py:553-573 load path), render with render_camera_host_loop,
+    and assert the ported params actually drive a finite, deterministic
+    render. The day a real Allegro checkpoint appears, parity is this test
+    with the fixture path swapped."""
+    torch = pytest.importorskip("torch")
+
+    from neural_jacobian_field_tpu.inference.render import render_camera_host_loop
+    from neural_jacobian_field_tpu.utils.port_torch import load_reference_checkpoint
+    from tests.test_model import tiny_inputs
+
+    model = Model(cfg=tiny_cfg("jacobian_mlp"))
+    mi = tiny_inputs(jax.random.PRNGKey(0))
+    variables = model.init(jax.random.PRNGKey(1), mi, eval_ctx(), train=False)
+    params_flat = {k: np.asarray(v) for k, v in
+                   tu.flatten_dict(variables["params"], sep="/").items()}
+    rng = np.random.default_rng(3)
+    randomized = {k: (0.05 * rng.normal(size=v.shape)).astype(np.float32)
+                  for k, v in params_flat.items()}
+    sd_np = fabricate_state_dict(randomized, {})
+    ckpt_path = tmp_path / "reference.ckpt"
+    torch.save({"state_dict": {k: torch.from_numpy(v.copy())
+                               for k, v in sd_np.items()}}, ckpt_path)
+
+    params, _ = load_reference_checkpoint(ckpt_path, variables["params"])
+    # ported values must be the randomized ones, not the init ones
+    got = tu.flatten_dict(params, sep="/")
+    changed = sum(
+        not np.allclose(np.asarray(got[k]), params_flat[k])
+        for k in params_flat)
+    assert changed > len(params_flat) * 0.9
+
+    def render():
+        out = render_camera_host_loop(
+            model, {"params": params}, mi.camera_input, mi.robot_input,
+            z_near=0.5, z_far=4.0, height=16, width=24, patch_size=128,
+            key=jax.random.PRNGKey(5))
+        return np.asarray(out.rgb)
+
+    r1, r2 = render(), render()
+    assert np.all(np.isfinite(r1))
+    np.testing.assert_allclose(r1, r2, atol=0)

@@ -80,13 +80,13 @@ def test_perception_step_decreases_loss():
     state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
     step = make_train_step(model, cfg, donate=False)
     losses = []
-    for i in range(15):
+    for i in range(30):
         state, metrics = step(state, raw, jax.random.PRNGKey(100 + i))
         losses.append(float(metrics["loss/rgb"]))
-    assert int(state.step) == 15
+    assert int(state.step) == 30
     assert np.isfinite(losses).all()
     # random ray subsets make per-step loss noisy; compare smoothed tails
-    assert np.mean(losses[-4:]) < np.mean(losses[:2])
+    assert np.mean(losses[-6:]) < np.mean(losses[:3])
 
 
 @pytest.mark.parametrize("tracks", [False, True])
