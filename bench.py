@@ -58,8 +58,14 @@ def main():
                                    num_nerf_samples=SAMPLES[1],
                                    # K5 fused PDF-resample kernel: validated
                                    # loss parity, -9.2% step time on-chip
-                                   use_pallas_pdf=True),
-            encoder=EncoderResnetCfg(norm_type="group"),
+                                   use_pallas_pdf=True,
+                                   # K1b epipolar ray-knot feature path:
+                                   # 195 -> 111 ms/step on-chip; quality A/B
+                                   # on the synthetic scene shows no
+                                   # regression (benchmarks/RESULTS.md)
+                                   pixel_feature_mode="epipolar"),
+            # reference default norm (image_encoder_resnet.yaml: batch)
+            encoder=EncoderResnetCfg(norm_type="batch"),
         ),
         compute_dtype=jnp.bfloat16,
     )

@@ -85,10 +85,11 @@ def patch_render(
 
         def fwd(mdl):
             ray_bundle = mdl.compute_ray_bundle(ri)
+            enc = mdl.attach_ray_features(pixel_encoding, ray_bundle)
             (ray_samples, positions, dirs, _, _) = mdl.compute_proposal(
-                ray_bundle, pixel_encoding, ctx, stratified=False
+                ray_bundle, enc, ctx, stratified=False
             )
-            dec = mdl.decoder(positions, dirs, pixel_encoding)
+            dec = mdl.decoder(positions, dirs, enc)
             weights = ray_samples.get_weights(dec.density)
             rgb = jnp.sum(weights * dec.color, axis=-2)
             steps = (ray_samples.starts + ray_samples.ends) / 2
@@ -135,9 +136,10 @@ def _render_one_patch(model: Model, variables, camera_input: CameraInput,
 
     def fwd(mdl):
         ray_bundle = mdl.compute_ray_bundle(ri)
+        enc = mdl.attach_ray_features(pixel_encoding, ray_bundle)
         ray_samples, positions, dirs, _, _ = mdl.compute_proposal(
-            ray_bundle, pixel_encoding, ctx, stratified=False)
-        dec = mdl.decoder(positions, dirs, pixel_encoding)
+            ray_bundle, enc, ctx, stratified=False)
+        dec = mdl.decoder(positions, dirs, enc)
         weights = ray_samples.get_weights(dec.density)
         rgb = jnp.sum(weights * dec.color, axis=-2)
         steps = (ray_samples.starts + ray_samples.ends) / 2

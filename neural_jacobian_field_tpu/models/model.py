@@ -57,6 +57,13 @@ class RenderingCfg:
     # adjacent bin because the MXU cumsum accumulates in a different order —
     # ops/pallas/pdf_resample.py). Set false for bit-exact XLA resampling.
     use_pallas_pdf: bool = True
+    # pixel-aligned feature sampling path (ops/epipolar.py): "exact" gathers
+    # one row per sample per pyramid level (reference-parity bilinear);
+    # "epipolar" caches per-ray knot textures along the projected ray segment
+    # and interpolates them per sample — ~10x fewer gather/scatter rows, the
+    # K1b TPU-native path. epipolar_knots = (fine, mid, coarse) knots/ray.
+    pixel_feature_mode: str = "exact"
+    epipolar_knots: Tuple[int, int, int] = (64, 16, 8)
 
 
 @dataclass(frozen=True)
@@ -254,6 +261,27 @@ class Model(nn.Module):
             action=robot_input.robot_action,
         )
 
+    def attach_ray_features(self, pixel_encoding: PixelEncoding,
+                            ray_bundle: RayBundle) -> PixelEncoding:
+        """K1b: in "epipolar" mode, swap the PackedPyramid for per-ray knot
+        textures (ops/epipolar.py) once the rays are known. Knots are built
+        once and shared by the proposal and nerf stages. No-op in "exact"
+        mode or when the encoder layout is not the pyramid."""
+        from ..ops.epipolar import build_ray_knots
+        from ..ops.pixel_gather import PackedPyramid
+
+        if (self.cfg.rendering.pixel_feature_mode != "epipolar"
+                or not isinstance(pixel_encoding.features, PackedPyramid)):
+            return pixel_encoding
+        knots = build_ray_knots(
+            pixel_encoding.features,
+            ray_bundle.origins, ray_bundle.directions,
+            ray_bundle.nears[..., 0], ray_bundle.fars[..., 0],
+            pixel_encoding.extrinsics, pixel_encoding.intrinsics,
+            num_knots=tuple(self.cfg.rendering.epipolar_knots),
+        )
+        return pixel_encoding.replace(features=knots)
+
     def compute_proposal(self, ray_bundle: RayBundle, pixel_encoding: PixelEncoding,
                          ctx: StepCtx, stratified: bool = True):
         """models/model.py:227-255."""
@@ -293,6 +321,7 @@ class Model(nn.Module):
         pixel_encoding = self.compute_pixel_encoding(
             camera_input, model_input.robot_input, train=train
         )
+        pixel_encoding = self.attach_ray_features(pixel_encoding, ray_bundle)
 
         (ray_samples, positions, directions, weights_list, ray_samples_list) = (
             self.compute_proposal(ray_bundle, pixel_encoding, ctx, stratified=train)
@@ -339,6 +368,7 @@ class Model(nn.Module):
         """Evaluate the field once for inverse dynamics (models/model.py:458-495)."""
         ray_bundle = self.compute_ray_bundle(rendering_input)
         pixel_encoding = self.compute_pixel_encoding(camera_input, robot_input)
+        pixel_encoding = self.attach_ray_features(pixel_encoding, ray_bundle)
         ray_samples, positions, _, _, _ = self.compute_proposal(
             ray_bundle, pixel_encoding, ctx, stratified=False
         )

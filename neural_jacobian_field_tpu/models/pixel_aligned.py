@@ -16,6 +16,7 @@ from typing import Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from ..ops.epipolar import RayKnots, sample_ray_knots
 from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pixel_gather import PackedPyramid, pyramid_pixel_features
 from ..rendering.geometry import (
@@ -29,15 +30,16 @@ def get_pixel_aligned_features(
     coords_3d_world: jax.Array,
     cam2world: jax.Array,
     intrinsics: jax.Array,
-    img_features: Union[jax.Array, PackedPyramid],
+    img_features: Union[jax.Array, PackedPyramid, RayKnots],
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Args:
       coords_3d_world: [B, N, 3] world points.
       cam2world: [B, 4, 4] context camera pose (OpenCV cam-to-world).
       intrinsics: [B, 3, 3] *normalized* intrinsics (pixels in [0, 1]).
-      img_features: [B, Hf, Wf, C] context feature map (NHWC), or the K1
+      img_features: [B, Hf, Wf, C] context feature map (NHWC), the K1
         PackedPyramid layout (ops/pixel_gather.py) sampled level-by-level at
-        native resolutions.
+        native resolutions, or K1b RayKnots (ops/epipolar.py) interpolating
+        per-ray epipolar knot textures (no per-sample gather).
 
     Returns:
       features [B, N, C], camera-space xyz [B, N, 3], uv [B, N, 3]
@@ -47,7 +49,12 @@ def get_pixel_aligned_features(
     c3d_cam_hom = transform_world2cam(c3d_world_hom, cam2world[:, None])
     c2d_cam, _ = project_z_divide(c3d_cam_hom, intrinsics[:, None])
 
-    if isinstance(img_features, PackedPyramid):
+    if isinstance(img_features, RayKnots):
+        hf, wf = img_features.fine_hw
+        fx = c2d_cam[..., 0] * (wf - 1)
+        fy = c2d_cam[..., 1] * (hf - 1)
+        feats = sample_ray_knots(img_features, fx, fy)
+    elif isinstance(img_features, PackedPyramid):
         hf, wf = img_features.fine_hw
         fx = c2d_cam[..., 0] * (wf - 1)
         fy = c2d_cam[..., 1] * (hf - 1)

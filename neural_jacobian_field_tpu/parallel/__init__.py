@@ -3,6 +3,7 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_stacked_batch,
     replicate,
     DevicePrefetcher,
 )

@@ -46,6 +46,15 @@ def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
     return jax.device_put(batch, shardings)
 
 
+def shard_stacked_batch(stacked, mesh: Mesh, axis: str = DATA_AXIS):
+    """Shard a `stack_batches` result (leading [K] steps axis, batch second)
+    over the mesh: steps replicated, batch dim sharded."""
+    def spec(x):
+        return NamedSharding(mesh, P(None, axis, *([None] * (np.ndim(x) - 2))))
+
+    return jax.device_put(stacked, jax.tree.map(spec, stacked))
+
+
 class DevicePrefetcher:
     """Stage host batches onto the device ahead of consumption (the
     jax_utils.prefetch_to_device pattern): a daemon thread runs shard_batch
