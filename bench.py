@@ -89,7 +89,9 @@ def main():
         return time.perf_counter() - t0
 
     # chained steps (state feeds state) with one data pull at the end; the
-    # per-dispatch overhead is amortized across k steps
+    # per-dispatch overhead is amortized across k steps. (A lax.scan
+    # multi-step dispatch is measurably SLOWER at this scale — see
+    # benchmarks/RESULTS.md "steps_per_call pathology".)
     k = 12
     per_step = run(k, 100) / k
     rays_per_sec = BATCH * RAYS / per_step

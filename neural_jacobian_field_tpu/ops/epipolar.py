@@ -51,7 +51,6 @@ from .pixel_gather import (
     _level_coords,
     bilinear_corners,
     gather_packed_rows,
-    pack_2x2,
 )
 
 
@@ -155,7 +154,9 @@ def build_ray_knots(
 
     sm = (hf + hm - 1) // hm
     sc = (hf + hc - 1) // hc
-    coarse2 = pack_2x2(pyr.coarse).reshape(b, hc * wc, -1)
+    from .pallas.pack2x2 import pack_2x2_flat
+
+    coarse2 = pack_2x2_flat(pyr.coarse)
     mf, mm, mc = num_knots
     return RayKnots(
         fine=_gather_level_knots(pyr.fine2, (hf, wf), 1, p0, pdir, mf),
@@ -171,8 +172,13 @@ def build_ray_knots(
 def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     """Linear interp along the knot axis via a 2-sparse one-hot matmul (MXU;
     a take_along_axis here would reintroduce the per-sample gather this
-    module exists to remove). level [B, R, M, C], s [B, R, S] in [0, 1]."""
-    m = level.shape[2]
+    module exists to remove). level [B, R, M, C], s [B, R, S] in [0, 1].
+
+    Lowered as a (B*R)-batched dot_general rather than an einsum with two
+    batch axes: measured 2x faster fwd+bwd on-chip (the einsum form makes
+    XLA materialize an extra [B, R, S, C] layout copy each way)."""
+    b, r, m, c = level.shape
+    sn = s.shape[2]
     pos = s * (m - 1)
     k0 = jnp.clip(jnp.floor(pos), 0, m - 2)
     w = (pos - k0).astype(level.dtype)
@@ -180,7 +186,12 @@ def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, m), 3)
     onehot = jnp.where(cols == k0, (1.0 - w)[..., None], 0.0).astype(level.dtype)
     onehot = onehot + jnp.where(cols == k0 + 1, w[..., None], 0.0).astype(level.dtype)
-    return jnp.einsum("brsm,brmc->brsc", onehot, level)
+    out = jax.lax.dot_general(
+        onehot.reshape(b * r, sn, m), level.reshape(b * r, m, c),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(level.dtype)
+    return out.reshape(b, r, sn, c)
 
 
 def sample_ray_knots(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> jax.Array:

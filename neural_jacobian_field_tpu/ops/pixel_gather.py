@@ -304,13 +304,20 @@ class PackedPyramid:
 
 
 def pack_pyramid(pyr: FeaturePyramid) -> PackedPyramid:
-    """Repack a FeaturePyramid into gather-ready layout (once per step)."""
+    """Repack a FeaturePyramid into gather-ready layout (once per step).
+
+    The fine/mid packing runs through the K6 fused Pallas kernel on TPU
+    (ops/pallas/pack2x2.py) — one read + one write in the final row-major
+    layout, vs XLA's 4-slice concat + layout copies (~9 ms/step at the
+    reference fine shape)."""
+    from .pallas.pack2x2 import pack_2x2_flat
+
     fine, mid, coarse = pyr.fine, pyr.mid, pyr.coarse
     b, hf, wf, cf = fine.shape
     _, hm, wm, cm = mid.shape
     return PackedPyramid(
-        fine2=pack_2x2(fine).reshape(b, hf * wf, 4 * cf),
-        mid2=pack_2x2(mid).reshape(b, hm * wm, 4 * cm),
+        fine2=pack_2x2_flat(fine),
+        mid2=pack_2x2_flat(mid),
         coarse=coarse,
         fine_hw=(hf, wf),
         mid_hw=(hm, wm),

@@ -96,3 +96,30 @@ def test_fused_sample_pdf_parity():
             assert (np.diff(o, axis=-1) >= -1e-6).all()
             assert o.min() >= float(bins.min()) - 1e-5
             assert o.max() <= float(bins.max()) + 1e-5
+
+
+def test_pack_2x2_flat_parity():
+    """K6 fused pack kernel (interpret mode) == pack_2x2 + flatten, forward
+    and VJP (the custom backward folds the duplicated border gradients)."""
+    from neural_jacobian_field_tpu.ops.pallas import pack2x2
+    from neural_jacobian_field_tpu.ops.pixel_gather import pack_2x2
+
+    b, h, w, c = 2, 6, 8, 128
+    fine = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c))
+
+    ref_fn = lambda x: pack_2x2(x).reshape(b, h * w, 4 * c)
+    ref = ref_fn(fine)
+
+    out_i = pack2x2._pack_fwd_pallas(fine, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref), atol=0)
+
+    # VJP parity: pallas bwd kernel (interpret) vs autodiff of the XLA pack
+    g = jax.random.normal(jax.random.PRNGKey(1), ref.shape)
+    _, ref_vjp = jax.vjp(ref_fn, fine)
+    (want,) = ref_vjp(g)
+    got = pack2x2._pack_bwd_pallas(g, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # the XLA fallback backward (non-TPU path of the custom VJP) too
+    (got2,) = pack2x2._pack_flat_bwd((jnp.zeros((h, w, 0), fine.dtype),), g)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
