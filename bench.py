@@ -63,7 +63,9 @@ def main():
                                    # 195 -> 111 ms/step on-chip; quality A/B
                                    # on the synthetic scene shows no
                                    # regression (benchmarks/RESULTS.md)
-                                   pixel_feature_mode="epipolar"),
+                                   pixel_feature_mode="epipolar",
+                                   # K7 fused trunk kernel (+8% step)
+                                   use_fused_trunk=True),
             # reference default norm (image_encoder_resnet.yaml: batch)
             encoder=EncoderResnetCfg(norm_type="batch"),
         ),
@@ -89,9 +91,9 @@ def main():
         return time.perf_counter() - t0
 
     # chained steps (state feeds state) with one data pull at the end; the
-    # per-dispatch overhead is amortized across k steps. (A lax.scan
-    # multi-step dispatch is measurably SLOWER at this scale — see
-    # benchmarks/RESULTS.md "steps_per_call pathology".)
+    # per-dispatch overhead is amortized across k steps. (steps_per_call=4
+    # via lax.scan measures ~3% faster with a device-resident stacked batch —
+    # benchmarks/RESULTS.md; per-step kept here for simplicity.)
     k = 12
     per_step = run(k, 100) / k
     rays_per_sec = BATCH * RAYS / per_step

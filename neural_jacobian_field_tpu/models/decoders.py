@@ -142,11 +142,13 @@ class DensityDecoderMlp(nn.Module):
     encoder_dim: int
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    fused_trunk: bool = False
 
     def setup(self):
         self.density_head = _trunk_cls(self.remat)(
             cfg=self.cfg.mlp, d_out=1, d_latent=self.encoder_dim,
-            compute_dtype=self.compute_dtype, name="density_head",
+            compute_dtype=self.compute_dtype, fused_trunk=self.fused_trunk,
+            name="density_head",
         )
         self._activation = density_activation("trunc_exp")
 
@@ -274,20 +276,22 @@ class ActionDecoderJacobianMlp(ActionDecoderBase):
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    fused_trunk: bool = False
 
     def setup(self):
         cfg = self.cfg
         trunk = _trunk_cls(self.remat)
         self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
-            compute_dtype=self.compute_dtype, name="density_head",
+            compute_dtype=self.compute_dtype, fused_trunk=self.fused_trunk,
+            name="density_head",
         )
         self._activation = density_activation("trunc_exp")
         self.jacobian_head = trunk(
             cfg=cfg.mlp, d_out=self.spatial_dim * self.action_dim,
             d_latent=self.encoder_dim, compute_dtype=self.compute_dtype,
             kernel_override=init.near_zero_normal(), bias_override=init.near_zero_normal(),
-            name="jacobian_head",
+            fused_trunk=self.fused_trunk, name="jacobian_head",
         )
         if cfg.use_arm_model:
             self.jacobian_head_arm = ResnetFC(
@@ -312,6 +316,7 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    fused_trunk: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -319,7 +324,8 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
         trunk = _trunk_cls(self.remat)
         self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
-            compute_dtype=self.compute_dtype, name="density_head",
+            compute_dtype=self.compute_dtype, fused_trunk=self.fused_trunk,
+            name="density_head",
         )
         self._activation = density_activation("trunc_exp")
 
@@ -368,13 +374,15 @@ class ActionDecoderFlowMlp(ActionDecoderBase):
     encoder_dim: int = 512
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
+    fused_trunk: bool = False
 
     def setup(self):
         cfg = self.cfg
         trunk = _trunk_cls(self.remat)
         self.density_head = trunk(
             cfg=cfg.mlp, d_out=cfg.geometry_feature_dim + 1, d_latent=self.encoder_dim,
-            compute_dtype=self.compute_dtype, name="density_head",
+            compute_dtype=self.compute_dtype, fused_trunk=self.fused_trunk,
+            name="density_head",
         )
         self._activation = density_activation("trunc_exp")
         self.flow_head = trunk(
@@ -382,7 +390,7 @@ class ActionDecoderFlowMlp(ActionDecoderBase):
             d_latent=self.encoder_dim + self.action_dim,
             compute_dtype=self.compute_dtype,
             kernel_override=init.near_zero_normal(), bias_override=init.near_zero_normal(),
-            name="flow_head",
+            fused_trunk=self.fused_trunk, name="flow_head",
         )
         if cfg.use_arm_model:
             self.flow_head_arm = ResnetFC(
@@ -422,9 +430,10 @@ DECODERS = {
 
 
 def get_action_decoder(cfg, action_dim: int, encoder_dim: int, compute_dtype=None,
-                       remat: bool = False):
+                       remat: bool = False, fused_trunk: bool = False):
     """Registry dispatch (models/decoder/__init__.py:37-44). remat
-    rematerializes the ResnetFC trunk activations in backward."""
+    rematerializes the ResnetFC trunk activations in backward; fused_trunk
+    routes ResnetFC heads through the K7 Pallas kernel on TPU."""
     _, cls = DECODERS[cfg.name]
     return cls(cfg=cfg, action_dim=action_dim, encoder_dim=encoder_dim,
-               compute_dtype=compute_dtype, remat=remat)
+               compute_dtype=compute_dtype, remat=remat, fused_trunk=fused_trunk)

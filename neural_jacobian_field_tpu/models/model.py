@@ -64,6 +64,9 @@ class RenderingCfg:
     # K1b TPU-native path. epipolar_knots = (fine, mid, coarse) knots/ray.
     pixel_feature_mode: str = "exact"
     epipolar_knots: Tuple[int, int, int] = (64, 16, 8)
+    # K7: route the ResnetFC trunks (proposal/density/jacobian heads) through
+    # the fused Pallas train kernel (ops/pallas/field_mlp_train.py) on TPU.
+    use_fused_trunk: bool = False
 
 
 @dataclass(frozen=True)
@@ -213,10 +216,12 @@ class Model(nn.Module):
         self.decoder = get_action_decoder(
             cfg.action_decoder, action_dim=cfg.action_dim, encoder_dim=encoder_dim,
             compute_dtype=self.compute_dtype, remat=self.remat,
+            fused_trunk=cfg.rendering.use_fused_trunk,
         )
         self.proposal_networks = [
             DensityDecoderMlp(cfg=cfg.density_decoder, encoder_dim=encoder_dim,
                               compute_dtype=self.compute_dtype, remat=self.remat,
+                              fused_trunk=cfg.rendering.use_fused_trunk,
                               name=f"proposal_networks_{i}")
             for i in range(len(cfg.rendering.num_proposal_samples))
         ]

@@ -65,6 +65,36 @@ class ResnetFC(nn.Module):
     # linears of the jacobian/flow heads (action_decoder_jacobian.py:77-84).
     kernel_override: Optional[callable] = None
     bias_override: Optional[callable] = None
+    # K7: evaluate through the fused Pallas train kernel
+    # (ops/pallas/field_mlp_train.py) — whole trunk per point-tile in VMEM,
+    # fwd + recompute-bwd. TPU-only (falls through to the XLA chain
+    # elsewhere or when compute_features is requested).
+    fused_trunk: bool = False
+
+    def _declare_params(self, kinit, binit, d_in):
+        """Materialize every layer's params via _Linear containers (names and
+        shapes identical to the nn.Dense path) for the fused kernel."""
+        dh = self.cfg.d_hidden
+        n_lin_z = min(self.cfg.combine_layer, self.cfg.n_blocks)
+
+        def lin(name, din, dout, k_default, b_default=init.zeros):
+            k, b = _Linear(features=dout, in_features=din,
+                           kernel_init=kinit(k_default), bias_init=binit(b_default),
+                           name=name)()
+            return name, {"kernel": k, "bias": b}
+
+        params = dict([
+            lin("lin_in", d_in, dh, init.kaiming_normal_in),
+            *[lin(f"lin_z_{i}", self.d_latent, dh, init.kaiming_normal_in)
+              for i in range(n_lin_z)],
+        ])
+        for i in range(self.cfg.n_blocks):
+            params.update([
+                lin(f"blocks_{i}_fc_0", dh, dh, init.kaiming_normal_in),
+                lin(f"blocks_{i}_fc_1", dh, dh, init.zeros),
+            ])
+        params.update([lin("lin_out", dh, self.d_out, init.kaiming_normal_in)])
+        return params
 
     @nn.compact
     def __call__(self, z: jax.Array, x: jax.Array, compute_features: bool = False):
@@ -76,6 +106,17 @@ class ResnetFC(nn.Module):
 
         def binit(default):
             return self.bias_override if self.bias_override is not None else default
+
+        use_fused = (
+            self.fused_trunk and not compute_features and self.cfg.beta == 0
+            and self.d_latent > 0 and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from ..ops.pallas.field_mlp_train import fused_resnet_fc_train
+
+            params = self._declare_params(kinit, binit, x.shape[-1])
+            out = fused_resnet_fc_train(params, self.cfg, z, x, self.d_out)
+            return out, None
 
         x = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),
                      bias_init=binit(init.zeros), dtype=dt, name="lin_in")(x)

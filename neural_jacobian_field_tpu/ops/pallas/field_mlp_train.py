@@ -1,0 +1,344 @@
+"""K7: fused ResnetFC trunk for TRAINING (forward + recompute-backward).
+
+The trunk (models/resnet_fc.py; reference model_components/resnet_fc.py:
+11-154) is a chain of [N, 128] matmuls over N = B*rays*samples points. XLA
+evaluates it layer by layer, bouncing every [N, 128] activation through HBM
+in both directions; at the reference workload the three trunk instances
+(proposal density, nerf density, jacobian head) cost ~2x their MXU roofline.
+
+This kernel evaluates the WHOLE trunk per point-tile with every weight
+resident in VMEM (~0.4 MB at d_hidden=128):
+
+  forward   one pass, bf16 matmuls with f32 accumulation, activations never
+            leave VMEM; residuals are just (params, z, x).
+  backward  recomputes the tile's activations in VMEM (cheaper than
+            stashing ~14 [N,128] tensors to HBM), then backpropagates:
+            dz via the fused lin_z matmul, per-layer dW/db accumulated in
+            f32 across the sequential grid (same-block `+=` outputs).
+
+The positional-encoding input x gets a ZERO cotangent: sample positions are
+gradient-stopped at the samplers (see ops/pixel_gather.py docstring), so
+XLA's dx chain is dead work this kernel skips. Parity vs the XLA trunk is
+tested in tests/test_pallas.py (forward and every gradient).
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.resnet_fc import MlpCfg
+
+POINT_TILE = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, w):
+    """a @ w.T with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _step(v):
+    """Arithmetic relu' (exact step for |v| >= 1e-30 in f32). A comparison
+    mask here — any (v > 0)-derived operand feeding an MXU contraction —
+    SEGFAULTS this libtpu's Mosaic compiler; clip(v*1e30, 0, 1) is pure
+    min/max arithmetic and lowers fine."""
+    return jnp.clip(v.astype(jnp.float32) * 1e30, 0.0, 1.0)
+
+
+def _dot_at(a, g):
+    """a.T @ g (weight gradient) with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_tile(z, x_pe, win, bin_, wz, bz, blocks, n_lin_z, dh, stash):
+    """Shared forward chain. Returns the final pre-activation x; if `stash`,
+    also returns (x_in_i, relu(x_in_i), net_i, relu(net_i)) per block.
+
+    Every layer output is cast to bf16 (mirroring the XLA trunk's
+    Dense(dtype=bf16) semantics) so the fwd/bwd recompute sees identical
+    ReLU masks and the numerics track the unfused path."""
+    bf = lambda v: v.astype(jnp.bfloat16)
+    x = bf(_dot(x_pe, win) + bin_)
+    tz = bf(_dot(z, wz) + bz) if wz is not None else None
+    saved = []
+    for i, (w0, b0, w1, b1) in enumerate(blocks):
+        if tz is not None and i < n_lin_z:
+            x = x + tz[:, i * dh:(i + 1) * dh]
+        ax = jnp.maximum(x, 0.0)
+        net = bf(_dot(ax, w0) + b0)
+        an = jnp.maximum(net, 0.0)
+        if stash:
+            saved.append((x, ax, net, an))
+        x = x + bf(_dot(an, w1) + b1)
+    return x, saved
+
+
+def _make_fwd_kernel(n_blocks, n_lin_z, dh):
+    def kernel(*refs):
+        it = iter(refs)
+        z_ref, x_ref = next(it), next(it)
+        win, bin_ = next(it)[:], next(it)[:]
+        wz, bz = (next(it)[:], next(it)[:]) if n_lin_z > 0 else (None, None)
+        blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
+                  for _ in range(n_blocks)]
+        wout, bout = next(it)[:], next(it)[:]
+        out_ref = next(it)
+
+        x, _ = _forward_tile(z_ref[:], x_ref[:], win, bin_, wz, bz, blocks,
+                             n_lin_z, dh, stash=False)
+        out_ref[:] = _dot(jnp.maximum(x, 0.0), wout) + bout
+
+    return kernel
+
+
+def _make_bwd_kernel(n_blocks, n_lin_z, dh):
+    def kernel(*refs):
+        it = iter(refs)
+        z_ref, x_ref, g_ref = next(it), next(it), next(it)
+        win, bin_ = next(it)[:], next(it)[:]
+        wz, bz = (next(it)[:], next(it)[:]) if n_lin_z > 0 else (None, None)
+        blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
+                  for _ in range(n_blocks)]
+        wout, bout = next(it)[:], next(it)[:]
+        # outputs: dz, dwin, dbin, [dwz, dbz], [dw0 db0 dw1 db1]*, dwout, dbout
+        dz_ref = next(it)
+        dwin_ref, dbin_ref = next(it), next(it)
+        dwz_ref, dbz_ref = (next(it), next(it)) if n_lin_z > 0 else (None, None)
+        dblocks = [(next(it), next(it), next(it), next(it))
+                   for _ in range(n_blocks)]
+        dwout_ref, dbout_ref = next(it), next(it)
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            dwin_ref[:] = jnp.zeros_like(dwin_ref)
+            dbin_ref[:] = jnp.zeros_like(dbin_ref)
+            if dwz_ref is not None:
+                dwz_ref[:] = jnp.zeros_like(dwz_ref)
+                dbz_ref[:] = jnp.zeros_like(dbz_ref)
+            for dw0, db0, dw1, db1 in dblocks:
+                dw0[:] = jnp.zeros_like(dw0)
+                db0[:] = jnp.zeros_like(db0)
+                dw1[:] = jnp.zeros_like(dw1)
+                db1[:] = jnp.zeros_like(db1)
+            dwout_ref[:] = jnp.zeros_like(dwout_ref)
+            dbout_ref[:] = jnp.zeros_like(dbout_ref)
+
+        z, x_pe, g = z_ref[:], x_ref[:], g_ref[:]
+        x_last, saved = _forward_tile(z, x_pe, win, bin_, wz, bz, blocks,
+                                      n_lin_z, dh, stash=True)
+
+        # lin_out
+        ax_last = jnp.maximum(x_last, 0.0)
+        dwout_ref[:] += _dot_at(ax_last, g)
+        dbout_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+        dx = _dot_t(g, wout) * _step(x_last)
+
+        dtz = []  # reverse order of blocks < n_lin_z
+        for i in reversed(range(n_blocks)):
+            w0, b0, w1, b1 = blocks[i]
+            dw0, db0, dw1, db1 = dblocks[i]
+            x_in, ax, net, an = saved[i]
+            # x = x_in + an @ w1 + b1
+            dw1[:] += _dot_at(an, dx)
+            db1[:] += jnp.sum(dx, axis=0, keepdims=True)
+            dnet = _dot_t(dx, w1) * _step(net)
+            dw0[:] += _dot_at(ax, dnet)
+            db0[:] += jnp.sum(dnet, axis=0, keepdims=True)
+            dx = dx + _dot_t(dnet, w0) * _step(x_in)
+            if i < n_lin_z:
+                dtz.append(dx)
+
+        if n_lin_z > 0:
+            dtz_all = jnp.concatenate(list(reversed(dtz)), axis=-1)
+            dwz_ref[:] += _dot_at(z, dtz_all)
+            dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
+            dz_ref[:] = _dot_t(dtz_all, wz).astype(dz_ref.dtype)
+        else:
+            dz_ref[:] = jnp.zeros_like(dz_ref)
+
+        dwin_ref[:] += _dot_at(x_pe, dx)
+        dbin_ref[:] += jnp.sum(dx, axis=0, keepdims=True)
+
+    return kernel
+
+
+def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype):
+    """Params dict -> flat (weights list, spec builders). Biases are [1, d]
+    so every operand is 2-D (TPU-friendly)."""
+    def w(name):
+        return params[name]["kernel"].astype(dtype)
+
+    def b(name):
+        return params[name]["bias"].astype(dtype)[None, :]
+
+    out = [w("lin_in"), b("lin_in")]
+    if n_lin_z > 0:
+        out += [jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1),
+                jnp.concatenate([b(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)]
+    for i in range(cfg.n_blocks):
+        out += [w(f"blocks_{i}_fc_0"), b(f"blocks_{i}_fc_0"),
+                w(f"blocks_{i}_fc_1"), b(f"blocks_{i}_fc_1")]
+    out += [w("lin_out"), b("lin_out")]
+    return out
+
+
+def _whole(arr_shape):
+    return pl.BlockSpec(arr_shape, lambda i: tuple(0 for _ in arr_shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def fused_resnet_fc_train(params, cfg: MlpCfg, z, x, d_out: int,
+                          interpret: bool = False):
+    """ResnetFC trunk, fused fwd+bwd. params: the Flax param dict of
+    models/resnet_fc.py. z [..., d_latent], x [..., d_in] -> [..., d_out]
+    f32. Differentiable wrt params and z (x gets a zero cotangent)."""
+    out, _ = _k7_fwd(params, cfg, z, x, d_out, interpret)
+    return out
+
+
+def _pad_rows(a, n_pad):
+    n = a.shape[0]
+    if n_pad != n:
+        a = jnp.concatenate([a, jnp.zeros((n_pad - n, a.shape[1]), a.dtype)])
+    return a
+
+
+def _k7_fwd(params, cfg, z, x, d_out, interpret):
+    interpret = interpret or jax.default_backend() != "tpu"
+    lead = z.shape[:-1]
+    dz_dim, dx_dim = z.shape[-1], x.shape[-1]
+    z2 = z.reshape(-1, dz_dim)
+    x2 = x.reshape(-1, dx_dim)
+    n = z2.shape[0]
+    n_pad = _round_up(n, POINT_TILE)
+    n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
+    dh = cfg.d_hidden
+    do_pad = _round_up(d_out, 128)
+
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16)
+    # pad lin_out to 128 lanes
+    wout, bout = weights[-2], weights[-1]
+    if do_pad != d_out:
+        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
+        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
+
+    zp = _pad_rows(z2.astype(jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
+
+    point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh),
+        grid=(n_pad // POINT_TILE,),
+        in_specs=[point(dz_dim), point(dx_dim)] + [_whole(w.shape) for w in weights],
+        out_specs=point(do_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
+        interpret=interpret,
+    )(zp, xp, *weights)
+    out = out[:n, :d_out].reshape(*lead, d_out)
+    return out, (params, z, x)
+
+
+def _k7_bwd(cfg, d_out, interpret, res, g):
+    params, z, x = res
+    interpret = interpret or jax.default_backend() != "tpu"
+    lead = z.shape[:-1]
+    dz_dim, dx_dim = z.shape[-1], x.shape[-1]
+    z2 = z.reshape(-1, dz_dim)
+    x2 = x.reshape(-1, dx_dim)
+    g2 = g.reshape(-1, d_out)
+    n = z2.shape[0]
+    n_pad = _round_up(n, POINT_TILE)
+    n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
+    dh = cfg.d_hidden
+    do_pad = _round_up(d_out, 128)
+
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16)
+    wout, bout = weights[-2], weights[-1]
+    if do_pad != d_out:
+        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
+        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
+
+    zp = _pad_rows(z2.astype(jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
+    gp = _pad_rows(g2.astype(jnp.float32), n_pad)
+    if do_pad != d_out:
+        gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
+
+    point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    # grad outputs mirror the weights list (f32), preceded by dz
+    grad_shapes = [jax.ShapeDtypeStruct((n_pad, dz_dim), jnp.float32)]
+    grad_specs = [point(dz_dim)]
+    for wgt in weights:
+        grad_shapes.append(jax.ShapeDtypeStruct(wgt.shape, jnp.float32))
+        grad_specs.append(_whole(wgt.shape))
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh),
+        grid=(n_pad // POINT_TILE,),
+        in_specs=[point(dz_dim), point(dx_dim), point(do_pad)]
+        + [_whole(w.shape) for w in weights],
+        out_specs=grad_specs,
+        out_shape=grad_shapes,
+        interpret=interpret,
+    )(zp, xp, gp, *weights)
+
+    dz = outs[0][:n].astype(z.dtype).reshape(*lead, dz_dim)
+    it = iter(outs[1:])
+
+    def unb(b2d):
+        return b2d[0]
+
+    dparams = {}
+    dwin, dbin = next(it), next(it)
+    dparams["lin_in"] = {"kernel": dwin, "bias": unb(dbin)}
+    if n_lin_z > 0:
+        dwz, dbz = next(it), next(it)
+        for i in range(n_lin_z):
+            dparams[f"lin_z_{i}"] = {
+                "kernel": dwz[:, i * dh:(i + 1) * dh],
+                "bias": unb(dbz)[i * dh:(i + 1) * dh],
+            }
+    for i in range(cfg.n_blocks):
+        dw0, db0, dw1, db1 = next(it), next(it), next(it), next(it)
+        dparams[f"blocks_{i}_fc_0"] = {"kernel": dw0, "bias": unb(db0)}
+        dparams[f"blocks_{i}_fc_1"] = {"kernel": dw1, "bias": unb(db1)}
+    dwout, dbout = next(it), next(it)
+    dparams["lin_out"] = {"kernel": dwout[:, :d_out], "bias": unb(dbout)[:d_out]}
+
+    # params may be f32: cast grads to the param dtypes
+    dparams = jax.tree.map(lambda p, gr: gr.astype(p.dtype), dict(params), dparams)
+    return dparams, dz, jnp.zeros_like(x)
+
+
+fused_resnet_fc_train.defvjp(
+    lambda params, cfg, z, x, d_out, interpret: _k7_fwd(params, cfg, z, x, d_out, interpret),
+    lambda cfg, d_out, interpret, res, g: _k7_bwd(cfg, d_out, interpret, res, g),
+)

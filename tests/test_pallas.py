@@ -123,3 +123,52 @@ def test_pack_2x2_flat_parity():
     # the XLA fallback backward (non-TPU path of the custom VJP) too
     (got2,) = pack2x2._pack_flat_bwd((jnp.zeros((h, w, 0), fine.dtype),), g)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=1e-5)
+
+
+def test_fused_resnet_fc_train_parity():
+    """K7 (interpret mode): forward and EVERY gradient (params + z) match
+    the XLA ResnetFC chain within bf16 tolerance; x's cotangent is zero by
+    design (positions are gradient-stopped at the samplers)."""
+    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg, ResnetFC
+    from neural_jacobian_field_tpu.ops.pallas.field_mlp_train import (
+        fused_resnet_fc_train,
+    )
+    import flax.traverse_util as tu
+
+    cfg = MlpCfg(n_blocks=3, d_hidden=128, combine_layer=2)
+    n, dz, dx, dout = 700, 256, 39, 16  # n NOT a tile multiple
+    z = jax.random.normal(jax.random.PRNGKey(0), (n, dz))
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, dx))
+    g = jax.random.normal(jax.random.PRNGKey(2), (n, dout))
+
+    trunk = ResnetFC(cfg=cfg, d_out=dout, d_latent=dz, compute_dtype=jnp.bfloat16)
+    params = trunk.init(jax.random.PRNGKey(3), z, x)["params"]
+
+    def ref_fn(p, z):
+        out, _ = trunk.apply({"params": p}, z, x)
+        return jnp.sum(out * g)
+
+    def k7_fn(p, z):
+        out = fused_resnet_fc_train(p, cfg, z, x, dout, True)
+        return jnp.sum(out * g)
+
+    ref_out, _ = trunk.apply({"params": params}, z, x)
+    k7_out = fused_resnet_fc_train(params, cfg, z, x, dout, True)
+    np.testing.assert_allclose(np.asarray(k7_out), np.asarray(ref_out),
+                               rtol=3e-2, atol=3e-2)
+
+    # Gradients: the two implementations differ at bf16 rounding, which can
+    # flip individual ReLU masks near zero — compare by relative Frobenius
+    # error (gradient DIRECTION), not elementwise.
+    def frob_rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+    (dp_a, dz_a) = jax.grad(ref_fn, argnums=(0, 1))(params, z)
+    (dp_b, dz_b) = jax.grad(k7_fn, argnums=(0, 1))(params, z)
+    assert frob_rel(dz_b, dz_a) < 0.03, frob_rel(dz_b, dz_a)
+    fa = tu.flatten_dict(dp_a, sep="/")
+    fb = tu.flatten_dict(dp_b, sep="/")
+    assert set(fa) == set(fb)
+    for k in fa:
+        assert frob_rel(fb[k], fa[k]) < 0.05, (k, frob_rel(fb[k], fa[k]))
