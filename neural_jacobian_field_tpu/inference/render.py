@@ -41,6 +41,25 @@ class RenderingOutput:
     steps: jax.Array  # [B, H, W, S]
 
 
+def _composite_patch(mdl, camera_input: CameraInput, ray_samples, positions, dec):
+    """Shared per-patch composite: weights + rgb/depth/flow/feature
+    reductions (reference models/model.py:257-314). A fused Pallas composite
+    (K3) was wired here and measured 6% SLOWER than XLA's own fusion of this
+    chain, then removed — see benchmarks/RESULTS.md r2."""
+    steps = (ray_samples.starts + ray_samples.ends) / 2
+    weights = ray_samples.get_weights(dec.density)
+    rgb = jnp.sum(weights * dec.color, axis=-2)
+    depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + 1e-10)
+    depth = jnp.clip(depth, jnp.min(steps), jnp.max(steps))
+    flow, pos, pos_warped = mdl.render_optical_flow(
+        weights, positions, dec.flow[..., :3],
+        camera_input.trgt_extrinsics, camera_input.trgt_intrinsics,
+    )
+    feats = jnp.sum(weights * dec.action_features, axis=-2)
+    return (rgb, depth, flow, feats, pos, pos_warped,
+            weights[..., 0], steps[..., 0])
+
+
 def camera_rays(height: int, width: int, intrinsics: jax.Array,
                 cam2world: jax.Array):
     """Full-image ray grid for a [B] camera batch. Returns ([B, H*W, 3] x2)."""
@@ -90,18 +109,7 @@ def patch_render(
                 ray_bundle, enc, ctx, stratified=False
             )
             dec = mdl.decoder(positions, dirs, enc)
-            weights = ray_samples.get_weights(dec.density)
-            rgb = jnp.sum(weights * dec.color, axis=-2)
-            steps = (ray_samples.starts + ray_samples.ends) / 2
-            depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + 1e-10)
-            depth = jnp.clip(depth, jnp.min(steps), jnp.max(steps))
-            flow, pos, pos_warped = mdl.render_optical_flow(
-                weights, positions, dec.flow[..., :3],
-                camera_input.trgt_extrinsics, camera_input.trgt_intrinsics,
-            )
-            action_features = jnp.sum(weights * dec.action_features, axis=-2)
-            return (rgb, depth, flow, action_features, pos, pos_warped,
-                    weights[..., 0], steps[..., 0])
+            return _composite_patch(mdl, camera_input, ray_samples, positions, dec)
 
         return model.apply(variables, method=lambda mdl: fwd(mdl))
 
@@ -140,17 +148,7 @@ def _render_one_patch(model: Model, variables, camera_input: CameraInput,
         ray_samples, positions, dirs, _, _ = mdl.compute_proposal(
             ray_bundle, enc, ctx, stratified=False)
         dec = mdl.decoder(positions, dirs, enc)
-        weights = ray_samples.get_weights(dec.density)
-        rgb = jnp.sum(weights * dec.color, axis=-2)
-        steps = (ray_samples.starts + ray_samples.ends) / 2
-        depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + 1e-10)
-        depth = jnp.clip(depth, jnp.min(steps), jnp.max(steps))
-        flow, pos, pos_warped = mdl.render_optical_flow(
-            weights, positions, dec.flow[..., :3],
-            camera_input.trgt_extrinsics, camera_input.trgt_intrinsics)
-        feats = jnp.sum(weights * dec.action_features, axis=-2)
-        return (rgb, depth, flow, feats, pos, pos_warped,
-                weights[..., 0], steps[..., 0])
+        return _composite_patch(mdl, camera_input, ray_samples, positions, dec)
 
     return model.apply(variables, method=lambda mdl: fwd(mdl))
 

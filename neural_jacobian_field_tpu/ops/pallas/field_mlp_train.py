@@ -155,7 +155,7 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh):
         # lin_out
         ax_last = jnp.maximum(x_last, 0.0)
         dwout_ref[:] += _dot_at(ax_last, g)
-        dbout_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+        dbout_ref[:] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
         dx = _dot_t(g, wout) * _step(x_last)
 
         dtz = []  # reverse order of blocks < n_lin_z
@@ -287,14 +287,16 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
 
     zp = _pad_rows(z2.astype(jnp.bfloat16), n_pad)
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
-    gp = _pad_rows(g2.astype(jnp.float32), n_pad)
+    gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
     if do_pad != d_out:
         gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
-    # grad outputs mirror the weights list (f32), preceded by dz
-    grad_shapes = [jax.ShapeDtypeStruct((n_pad, dz_dim), jnp.float32)]
+    # grad outputs mirror the weights list (f32), preceded by dz — emitted
+    # directly in z's dtype: an f32 dz at the reference shape is a 940 MB
+    # HBM write plus a 2x2.1 ms convert pass (trace r2)
+    grad_shapes = [jax.ShapeDtypeStruct((n_pad, dz_dim), z.dtype)]
     grad_specs = [point(dz_dim)]
     for wgt in weights:
         grad_shapes.append(jax.ShapeDtypeStruct(wgt.shape, jnp.float32))
@@ -310,7 +312,7 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
         interpret=interpret,
     )(zp, xp, gp, *weights)
 
-    dz = outs[0][:n].astype(z.dtype).reshape(*lead, dz_dim)
+    dz = outs[0][:n].reshape(*lead, dz_dim)
     it = iter(outs[1:])
 
     def unb(b2d):

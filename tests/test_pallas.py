@@ -5,63 +5,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neural_jacobian_field_tpu.ops.compositing import composite, render_depth, render_weights
-from neural_jacobian_field_tpu.ops.pallas import fused_composite
-
-
-def test_fused_composite_parity():
-    key = jax.random.PRNGKey(0)
-    n, s, c = 13, 32, 3  # deliberately not a tile multiple
-    density = jax.random.uniform(key, (n, s)) * 3.0
-    edges = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (n, s + 1)), axis=-1)
-    deltas = edges[:, 1:] - edges[:, :-1]
-    steps = (edges[:, 1:] + edges[:, :-1]) / 2
-    values = jax.random.uniform(jax.random.PRNGKey(2), (n, s, c))
-
-    w_ref = render_weights(density[..., None], deltas[..., None])[..., 0]
-    comp_ref = composite(w_ref[..., None], values)
-    acc_ref = jnp.sum(w_ref, axis=-1, keepdims=True)
-    depth_ref = jnp.sum(w_ref * steps, axis=-1, keepdims=True) / (acc_ref + 1e-10)
-
-    w, comp, depth, acc = fused_composite(density, deltas, steps, values,
-                                          interpret=True)
-    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(comp), np.asarray(comp_ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref), atol=1e-6)
-
-
-def test_fused_composite_zero_density():
-    n, s, c = 8, 16, 4
-    density = jnp.zeros((n, s))
-    deltas = jnp.full((n, s), 0.1)
-    steps = jnp.cumsum(deltas, axis=-1)
-    values = jnp.ones((n, s, c))
-    w, comp, depth, acc = fused_composite(density, deltas, steps, values,
-                                          interpret=True)
-    assert float(jnp.abs(w).max()) == 0.0
-    assert float(jnp.abs(comp).max()) == 0.0
-    assert float(acc.max()) == 0.0
-
-
-def test_fused_resnet_fc_parity():
-    """K2 kernel must match the Flax ResnetFC forward bit-tight."""
-    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg, ResnetFC
-    from neural_jacobian_field_tpu.ops.pallas import fused_resnet_fc
-
-    cfg = MlpCfg(n_blocks=5, d_hidden=128, combine_layer=3)
-    d_latent, d_in, d_out = 512, 63, 16
-    model = ResnetFC(cfg=cfg, d_out=d_out, d_latent=d_latent)
-    key = jax.random.PRNGKey(0)
-    n = 300  # not a tile multiple
-    z = jax.random.normal(key, (n, d_latent))
-    x = jax.random.normal(jax.random.PRNGKey(1), (n, d_in))
-    variables = model.init(jax.random.PRNGKey(2), z, x)
-    ref, _ = model.apply(variables, z, x)
-    out = fused_resnet_fc(variables["params"], cfg, z, x, d_out, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
 
 def test_fused_sample_pdf_parity():
     """K5 kernel must match ops.pdf.sample_pdf exactly for the same jitter
