@@ -109,8 +109,12 @@ def _pack_bwd_pallas(g: jax.Array, h: int, interpret: bool = False) -> jax.Array
     )(g, g)
 
 
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+def _use_pallas(h: int, w: int, c: int) -> bool:
+    """Mosaic requires the trailing two block dims be (8, 128)-divisible (or
+    equal to the array dims); tiny maps — e.g. a 3x4 coarse level on a toy
+    scene — fall back to the XLA pack."""
+    return (jax.default_backend() == "tpu" and w % 8 == 0
+            and c % 128 == 0)
 
 
 @jax.custom_vjp
@@ -122,7 +126,7 @@ def pack_2x2_flat(fine: jax.Array) -> jax.Array:
 
 def _pack_flat_fwd(fine):
     b, h, w, c = fine.shape
-    if _use_pallas():
+    if _use_pallas(h, w, c):
         out = _pack_fwd_pallas(fine)
     else:
         from ..pixel_gather import pack_2x2
@@ -134,7 +138,7 @@ def _pack_flat_fwd(fine):
 def _pack_flat_bwd(res, g):
     (spec,) = res
     h, w, _ = spec.shape
-    if _use_pallas():
+    if _use_pallas(h, w, g.shape[-1] // 4):
         return (_pack_bwd_pallas(g, h),)
     b = g.shape[0]
     c = g.shape[-1] // 4
