@@ -41,7 +41,7 @@ def main():
     fy = jax.random.uniform(jax.random.PRNGKey(2), (B, N), minval=-3, maxval=hf + 2.0)
 
     # ---- correctness: pyramid fine gather == grid_sample on the fine map
-    pyr = pg.pack_pyramid(fine, mid, coarse)
+    pyr = pg.pack_pyramid(pg.FeaturePyramid(fine=fine, mid=mid, coarse=coarse))
 
     @jax.jit
     def pyr_gather(pyr, fx, fy):
@@ -73,7 +73,7 @@ def main():
 
     @jax.jit
     def pack_only(fine, mid, coarse):
-        p = pg.pack_pyramid(fine, mid, coarse)
+        p = pg.pack_pyramid(pg.FeaturePyramid(fine=fine, mid=mid, coarse=coarse))
         return jnp.sum(p.fine2[0, 0].astype(jnp.float32)) + jnp.sum(p.mid2[0, 0].astype(jnp.float32))
 
     print("pack ms:", timeit(pack_only, (fine, mid, coarse)))
@@ -82,7 +82,7 @@ def main():
     @jax.jit
     def loss_grad(fine, mid, coarse, fx, fy):
         def loss(fine, mid, coarse):
-            pyr = pg.pack_pyramid(fine, mid, coarse)
+            pyr = pg.pack_pyramid(pg.FeaturePyramid(fine=fine, mid=mid, coarse=coarse))
             o = pg.pyramid_pixel_features(pyr, fx, fy)
             return jnp.sum(o * o)
 

@@ -66,6 +66,8 @@ class RenderingCfg:
     epipolar_knots: Tuple[int, int, int] = (64, 16, 8)
     # K7: route the ResnetFC trunks (proposal/density/jacobian heads) through
     # the fused Pallas train kernel (ops/pallas/field_mlp_train.py) on TPU.
+    # The kernel computes in bf16; it only engages when the model's
+    # compute_dtype is bfloat16 (f32 models keep the XLA chain — resnet_fc.py).
     use_fused_trunk: bool = False
 
 
@@ -230,7 +232,10 @@ class Model(nn.Module):
             num_nerf_samples=cfg.rendering.num_nerf_samples,
             single_jitter=cfg.rendering.single_jitter,
             initial_spacing="uniform",
-            use_pallas_pdf=cfg.rendering.use_pallas_pdf,
+            # resolved per-backend: off-TPU the kernel would run in Pallas
+            # interpret mode, far slower than the XLA sampler it replaces
+            use_pallas_pdf=cfg.rendering.use_pallas_pdf
+            and jax.default_backend() == "tpu",
         )
 
     # -- building blocks ----------------------------------------------------

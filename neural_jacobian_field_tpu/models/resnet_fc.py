@@ -110,6 +110,10 @@ class ResnetFC(nn.Module):
         use_fused = (
             self.fused_trunk and not compute_features and self.cfg.beta == 0
             and self.d_latent > 0 and jax.default_backend() == "tpu"
+            # the fused kernel computes in bf16 internally; honoring an f32
+            # compute_dtype silently is a numerics change, so fall through to
+            # the XLA chain unless the model already runs bf16
+            and dt == jnp.bfloat16
         )
         if use_fused:
             from ..ops.pallas.field_mlp_train import fused_resnet_fc_train

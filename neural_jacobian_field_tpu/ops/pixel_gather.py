@@ -54,6 +54,12 @@ def bilinear_corners(x: jax.Array, y: jax.Array, width: int, height: int):
     exactly (x == W-1 gives x0 = W-2, wx = 1). Matches ops/grid_sample.py /
     torch grid_sample(align_corners=True, padding_mode="border").
     """
+    # NaN coords (e.g. 0/0 z-divide for a sample at the context camera
+    # center) would survive clip/floor and make the int32 corner index
+    # undefined — an unchecked OOB row read under promise_in_bounds. Zero
+    # them; the op is elementwise and fuses.
+    x = jnp.nan_to_num(x, nan=0.0)
+    y = jnp.nan_to_num(y, nan=0.0)
     x = jnp.clip(x, 0.0, width - 1)
     y = jnp.clip(y, 0.0, height - 1)
     x0 = jnp.clip(jnp.floor(x), 0, width - 2)
