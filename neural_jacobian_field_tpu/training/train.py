@@ -121,18 +121,44 @@ def create_train_state(key: jax.Array, model: Model, sample_batch: RawBatch,
     )
 
 
-def merge_compatible_params(template, loaded):
+def merge_compatible_params(template, loaded, report: list = None):
     """Shape-tolerant warm start: keep `loaded` entries whose path+shape match
-    `template`, skip the rest (model_wrapper.py:553-573 on_load_checkpoint)."""
+    `template`, skip the rest (model_wrapper.py:553-573 on_load_checkpoint —
+    the reference logs every skipped key; so do we).
+
+    Prints a one-line kept/dropped summary plus a (path, reason) line per
+    mismatch, and warns loudly if NOTHING matched (a silent from-scratch
+    "warm start" is the failure mode this guards). Mismatch details are also
+    appended to `report` if given.
+    """
     flat_t = flax.traverse_util.flatten_dict(template)
     flat_l = flax.traverse_util.flatten_dict(loaded)
-    merged = {}
+    merged, kept, details = {}, 0, []
     for k, v in flat_t.items():
         lv = flat_l.get(k)
         if lv is not None and jnp.shape(lv) == jnp.shape(v):
             merged[k] = lv
+            kept += 1
         else:
             merged[k] = v
+            path = "/".join(map(str, k))
+            reason = (
+                "missing from checkpoint" if lv is None
+                else f"shape mismatch ckpt{tuple(jnp.shape(lv))} vs model{tuple(jnp.shape(v))}"
+            )
+            details.append((path, reason))
+    for k in flat_l:
+        if k not in flat_t:
+            details.append(("/".join(map(str, k)), "not in model (dropped)"))
+    if report is not None:
+        report.extend(details)
+    print(f"warm start: kept {kept}/{len(flat_t)} model params from checkpoint"
+          f" ({len(details)} mismatches)")
+    for path, reason in details:
+        print(f"  warm start skip: {path}: {reason}")
+    if kept == 0 and len(flat_t) > 0:
+        print("WARNING: warm start matched NOTHING — training from scratch; "
+              "check that the checkpoint belongs to this model config")
     return flax.traverse_util.unflatten_dict(merged)
 
 
