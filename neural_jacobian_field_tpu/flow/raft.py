@@ -34,17 +34,49 @@ NUM_LEVELS = 4
 RADIUS = 4
 
 
+class _FrozenBatchNorm(nn.Module):
+    """Eval-mode BatchNorm with checkpoint-ported statistics.
+
+    The official raft-things/raft_large CONTEXT encoder uses BatchNorm2d
+    (norm_fn="batch"); frozen at inference it is a per-channel affine built
+    from the running stats + learned scale/bias. mean/var carry
+    stop_gradient so a from-scratch training run (the synthetic sanity test)
+    can't drift them — they stay identity unless ported.
+    """
+
+    eps: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,))
+        bias = self.param("bias", nn.initializers.zeros, (ch,))
+        mean = jax.lax.stop_gradient(self.param("mean", nn.initializers.zeros, (ch,)))
+        var = jax.lax.stop_gradient(self.param("var", nn.initializers.ones, (ch,)))
+        w = scale * jax.lax.rsqrt(var + self.eps)
+        b = bias - mean * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+def _make_norm(norm_type: str, dtype, name: str):
+    if norm_type == "batch":
+        return _FrozenBatchNorm(dtype=dtype, name=name)
+    # instance norm, no affine (official fnet)
+    return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                        use_scale=False, dtype=dtype, name=name)
+
+
 class _ResBlock(nn.Module):
     ch: int
     stride: int = 1
+    norm_type: str = "instance"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         def norm(name):
-            # instance norm, no affine (official fnet)
-            return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                                use_scale=False, dtype=self.dtype, name=name)
+            return _make_norm(self.norm_type, self.dtype, name)
 
         y = nn.Conv(self.ch, (3, 3), strides=self.stride, padding=1,
                     dtype=self.dtype, name="conv1")(x)
@@ -59,21 +91,28 @@ class _ResBlock(nn.Module):
 
 
 class _Encoder(nn.Module):
-    """fnet/cnet trunk: 1/8 resolution, `out_ch` channels."""
+    """fnet/cnet trunk: 1/8 resolution, `out_ch` channels.
+
+    norm_type: "instance" for fnet, "batch" (frozen) for cnet — matching the
+    official raft-things/raft_large norm_fn split so ported checkpoints
+    reproduce the torch numerics.
+    """
 
     out_ch: int = 256
+    norm_type: str = "instance"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         dt = self.dtype
         x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=dt, name="conv1")(x)
-        x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                         use_scale=False, dtype=dt, name="norm1")(x)
+        x = _make_norm(self.norm_type, dt, "norm1")(x)
         x = nn.relu(x)
         for i, (ch, stride) in enumerate(((64, 1), (96, 2), (128, 2))):
-            x = _ResBlock(ch=ch, stride=stride, dtype=dt, name=f"layer{i + 1}_0")(x)
-            x = _ResBlock(ch=ch, stride=1, dtype=dt, name=f"layer{i + 1}_1")(x)
+            x = _ResBlock(ch=ch, stride=stride, norm_type=self.norm_type,
+                          dtype=dt, name=f"layer{i + 1}_0")(x)
+            x = _ResBlock(ch=ch, stride=1, norm_type=self.norm_type,
+                          dtype=dt, name=f"layer{i + 1}_1")(x)
         return nn.Conv(self.out_ch, (1, 1), dtype=dt, name="conv2")(x)
 
 
@@ -184,7 +223,7 @@ class RAFT(nn.Module):
         f2 = fnet(x2).astype(jnp.float32)
         pyramid = _corr_pyramid(f1, f2)
 
-        cmap = _Encoder(out_ch=256, dtype=dt, name="cnet")(x1)
+        cmap = _Encoder(out_ch=256, norm_type="batch", dtype=dt, name="cnet")(x1)
         hidden = nn.tanh(cmap[..., :128]).astype(jnp.float32)
         context = nn.relu(cmap[..., 128:]).astype(jnp.float32)
 
@@ -294,25 +333,47 @@ def resize_batched_frames(frames: jax.Array, target_hw: Tuple[int, int]) -> jax.
     return jax.image.resize(frames, (b, th, tw, c), method="bilinear")
 
 
-def load_torch_raft_state_dict(params, state_dict) -> dict:
+def load_torch_raft_state_dict(params, state_dict, unused_out: list = None) -> dict:
     """Port an official princeton-vl RAFT checkpoint (raft-things.pth etc.,
-    'module.'-prefixed torch state_dict) into RAFT Flax params."""
+    'module.'-prefixed torch state_dict) into RAFT Flax params.
+
+    Consumes every tensor in the checkpoint (cnet BatchNorm scale/bias/
+    running stats land in the _FrozenBatchNorm params); leftover keys other
+    than num_batches_tracked counters are reported (appended to `unused_out`
+    if given, printed otherwise) — a non-empty leftover set means the port
+    is structurally incomplete for that checkpoint.
+    """
     import numpy as np
     import flax.traverse_util as tu
 
     flat = dict(tu.flatten_dict(params, sep="/"))
+    used = set()
 
     def t(name):
         key = name if name in state_dict else f"module.{name}"
+        used.add(key)
         return np.asarray(state_dict[key])
+
+    def has(name):
+        return name in state_dict or f"module.{name}" in state_dict
 
     def conv(dst, src):
         flat[f"{dst}/kernel"] = t(f"{src}.weight").transpose(2, 3, 1, 0)
-        if f"{src}.bias" in state_dict or f"module.{src}.bias" in state_dict:
+        if has(f"{src}.bias"):
             flat[f"{dst}/bias"] = t(f"{src}.bias")
+
+    def frozen_bn(dst, src):
+        # BatchNorm2d: weight/bias + running stats -> _FrozenBatchNorm params
+        if not has(f"{src}.running_mean"):
+            return  # instance-norm checkpoint side (fnet): no tensors
+        flat[f"{dst}/scale"] = t(f"{src}.weight")
+        flat[f"{dst}/bias"] = t(f"{src}.bias")
+        flat[f"{dst}/mean"] = t(f"{src}.running_mean")
+        flat[f"{dst}/var"] = t(f"{src}.running_var")
 
     for net in ("fnet", "cnet"):
         conv(f"{net}/conv1", f"{net}.conv1")
+        frozen_bn(f"{net}/norm1", f"{net}.norm1")
         conv(f"{net}/conv2", f"{net}.conv2")
         for li, layer in enumerate(("layer1", "layer2", "layer3"), start=1):
             for bi in range(2):
@@ -320,10 +381,16 @@ def load_torch_raft_state_dict(params, state_dict) -> dict:
                 dst = f"{net}/layer{li}_{bi}"
                 conv(f"{dst}/conv1", f"{base}.conv1")
                 conv(f"{dst}/conv2", f"{base}.conv2")
+                frozen_bn(f"{dst}/norm1", f"{base}.norm1")
+                frozen_bn(f"{dst}/norm2", f"{base}.norm2")
                 if any(k.startswith(f"{base}.downsample") or
                        k.startswith(f"module.{base}.downsample")
                        for k in state_dict):
                     conv(f"{dst}/downsample", f"{base}.downsample.0")
+                    # norm3 is registered both as .norm3 and .downsample.1
+                    frozen_bn(f"{dst}/norm3", f"{base}.norm3")
+                    for alias in (f"{base}.downsample.1", f"module.{base}.downsample.1"):
+                        used.update(k for k in state_dict if k.startswith(alias))
 
     me = "update_block.encoder"
     conv("update_motion/convc1", f"{me}.convc1")
@@ -339,5 +406,13 @@ def load_torch_raft_state_dict(params, state_dict) -> dict:
     conv("mask_conv1", "update_block.mask.0")
     conv("mask_conv2", "update_block.mask.2")
 
-    import flax.traverse_util as tu2
-    return tu2.unflatten_dict(flat, sep="/")
+    leftovers = sorted(
+        k for k in state_dict
+        if k not in used and not k.endswith("num_batches_tracked")
+    )
+    if unused_out is not None:
+        unused_out.extend(leftovers)
+    elif leftovers:
+        print(f"load_torch_raft_state_dict: {len(leftovers)} unported checkpoint "
+              f"tensors: {leftovers[:8]}{'...' if len(leftovers) > 8 else ''}")
+    return tu.unflatten_dict(flat, sep="/")

@@ -99,14 +99,21 @@ class ViTS14(nn.Module):
         return x[:, 1:].astype(jnp.float32)  # drop cls (get_intermediate_layers)
 
 
-def load_torch_dinov2_state_dict(params, state_dict) -> dict:
+def load_torch_dinov2_state_dict(params, state_dict, unused_out: list = None) -> dict:
     """Port a torch DINOv2 ViT-S/14 state_dict (e.g. from the torch.hub
-    cache) into ViTS14 Flax params. Returns new params dict."""
+    cache) into ViTS14 Flax params. Returns new params dict.
+
+    Leftover checkpoint tensors (beyond `mask_token`, which
+    get_intermediate_layers never uses) are appended to `unused_out` if
+    given, else printed — the structural-completeness check for the port.
+    """
     import flax.traverse_util as tu
 
     flat = dict(tu.flatten_dict(params, sep="/"))
+    used = {"mask_token"}
 
     def t(name):
+        used.add(name)
         return np.asarray(state_dict[name])
 
     out = dict(flat)
@@ -133,4 +140,11 @@ def load_torch_dinov2_state_dict(params, state_dict) -> dict:
         out[f"{p}/mlp_fc2/kernel"] = t(f"{q}.mlp.fc2.weight").T
         out[f"{p}/mlp_fc2/bias"] = t(f"{q}.mlp.fc2.bias")
         out[f"{p}/ls2"] = t(f"{q}.ls2.gamma")
+    leftovers = sorted(k for k in state_dict if k not in used)
+    if unused_out is not None:
+        unused_out.extend(leftovers)
+    elif leftovers:
+        print(f"load_torch_dinov2_state_dict: {len(leftovers)} unported "
+              f"checkpoint tensors: {leftovers[:8]}"
+              f"{'...' if len(leftovers) > 8 else ''}")
     return tu.unflatten_dict(out, sep="/")

@@ -56,6 +56,174 @@ def _fixture_pair(h=96, w=128):
     return jnp.asarray(a)[None], jnp.asarray(b)[None]
 
 
+# ---------------------------------------------------------------------------
+# Always-run fabricated-state_dict harnesses (VERDICT r2 item 5): build a
+# state_dict with the REAL checkpoints' key names and tensor shapes
+# (princeton-vl RAFT raft-things / torch.hub dinov2_vits14 — both public,
+# deterministic naming schemes), run the full porter + a forward pass, and
+# assert (a) the porter consumed every checkpoint tensor and (b) every Flax
+# param leaf was overwritten. This pins the structural half of the port;
+# only numeric parity still requires the real weights (skip-marked tests
+# below).
+# ---------------------------------------------------------------------------
+
+
+def fabricate_raft_state_dict(seed=0):
+    """Princeton-vl raft-things.pth key set: fnet (instance norm, no norm
+    tensors), cnet (BatchNorm2d affine + running stats, with norm3 aliased
+    under downsample.1 as torch registers shared modules twice), BasicUpdate
+    block. All 'module.'-prefixed as saved by their DataParallel wrapper."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def w(name, *shape):
+        sd[f"module.{name}"] = rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    def bn(name, ch):
+        w(f"{name}.weight", ch)
+        w(f"{name}.bias", ch)
+        w(f"{name}.running_mean", ch)
+        sd[f"module.{name}.running_var"] = rng.uniform(
+            0.5, 1.5, ch).astype(np.float32)
+        sd[f"module.{name}.num_batches_tracked"] = np.asarray(1000, np.int64)
+
+    for net, batchnorm in (("fnet", False), ("cnet", True)):
+        w(f"{net}.conv1.weight", 64, 3, 7, 7)
+        w(f"{net}.conv1.bias", 64)
+        if batchnorm:
+            bn(f"{net}.norm1", 64)
+        in_planes = 64
+        for li, (planes, stride) in enumerate(((64, 1), (96, 2), (128, 2)), start=1):
+            for bi in range(2):
+                base = f"{net}.layer{li}.{bi}"
+                inp = in_planes if bi == 0 else planes
+                s = stride if bi == 0 else 1
+                w(f"{base}.conv1.weight", planes, inp, 3, 3)
+                w(f"{base}.conv1.bias", planes)
+                w(f"{base}.conv2.weight", planes, planes, 3, 3)
+                w(f"{base}.conv2.bias", planes)
+                if batchnorm:
+                    bn(f"{base}.norm1", planes)
+                    bn(f"{base}.norm2", planes)
+                if s != 1 or inp != planes:
+                    w(f"{base}.downsample.0.weight", planes, inp, 1, 1)
+                    w(f"{base}.downsample.0.bias", planes)
+                    if batchnorm:
+                        bn(f"{base}.norm3", planes)
+                        for part in ("weight", "bias", "running_mean",
+                                     "running_var", "num_batches_tracked"):
+                            sd[f"module.{base}.downsample.1.{part}"] = sd[
+                                f"module.{base}.norm3.{part}"]
+            in_planes = planes
+        w(f"{net}.conv2.weight", 256, 128, 1, 1)
+        w(f"{net}.conv2.bias", 256)
+
+    corr_ch = 4 * (2 * 4 + 1) ** 2  # levels * (2r+1)^2 = 324
+    enc = "update_block.encoder"
+    for name, co, ci, kh, kw in (
+        (f"{enc}.convc1", 256, corr_ch, 1, 1), (f"{enc}.convc2", 192, 256, 3, 3),
+        (f"{enc}.convf1", 128, 2, 7, 7), (f"{enc}.convf2", 64, 128, 3, 3),
+        (f"{enc}.conv", 126, 256, 3, 3),
+    ):
+        w(f"{name}.weight", co, ci, kh, kw)
+        w(f"{name}.bias", co)
+    for gate in ("convz", "convr", "convq"):
+        w(f"update_block.gru.{gate}1.weight", 128, 384, 1, 5)
+        w(f"update_block.gru.{gate}1.bias", 128)
+        w(f"update_block.gru.{gate}2.weight", 128, 384, 5, 1)
+        w(f"update_block.gru.{gate}2.bias", 128)
+    w("update_block.flow_head.conv1.weight", 256, 128, 3, 3)
+    w("update_block.flow_head.conv1.bias", 256)
+    w("update_block.flow_head.conv2.weight", 2, 256, 3, 3)
+    w("update_block.flow_head.conv2.bias", 2)
+    w("update_block.mask.0.weight", 256, 128, 3, 3)
+    w("update_block.mask.0.bias", 256)
+    w("update_block.mask.2.weight", 64 * 9, 256, 1, 1)
+    w("update_block.mask.2.bias", 64 * 9)
+    return sd
+
+
+def fabricate_dinov2_state_dict(seed=0, depth=12, dim=384, grid=37):
+    """torch.hub dinov2_vits14 key set (patch 14, dim 384, 12 blocks,
+    LayerScale, mask_token present but unused by get_intermediate_layers)."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def w(name, *shape):
+        sd[name] = rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    w("patch_embed.proj.weight", dim, 3, 14, 14)
+    w("patch_embed.proj.bias", dim)
+    w("cls_token", 1, 1, dim)
+    w("mask_token", 1, dim)
+    w("pos_embed", 1, grid * grid + 1, dim)
+    w("norm.weight", dim)
+    w("norm.bias", dim)
+    for i in range(depth):
+        q = f"blocks.{i}"
+        w(f"{q}.norm1.weight", dim)
+        w(f"{q}.norm1.bias", dim)
+        w(f"{q}.attn.qkv.weight", 3 * dim, dim)
+        w(f"{q}.attn.qkv.bias", 3 * dim)
+        w(f"{q}.attn.proj.weight", dim, dim)
+        w(f"{q}.attn.proj.bias", dim)
+        w(f"{q}.ls1.gamma", dim)
+        w(f"{q}.norm2.weight", dim)
+        w(f"{q}.norm2.bias", dim)
+        w(f"{q}.mlp.fc1.weight", 4 * dim, dim)
+        w(f"{q}.mlp.fc1.bias", 4 * dim)
+        w(f"{q}.mlp.fc2.weight", dim, 4 * dim)
+        w(f"{q}.mlp.fc2.bias", dim)
+        w(f"{q}.ls2.gamma", dim)
+    return sd
+
+
+def _assert_all_overwritten(init_params, ported_params):
+    import flax.traverse_util as tu
+
+    init_flat = tu.flatten_dict(jax.tree.map(np.asarray, init_params), sep="/")
+    new_flat = tu.flatten_dict(jax.tree.map(np.asarray, ported_params), sep="/")
+    assert set(init_flat) == set(new_flat)
+    unchanged = [k for k in init_flat
+                 if np.array_equal(init_flat[k], new_flat[k])]
+    assert not unchanged, f"params not overwritten by the port: {unchanged}"
+
+
+def test_raft_fabricated_state_dict_port():
+    from neural_jacobian_field_tpu.flow import RAFT
+    from neural_jacobian_field_tpu.flow.raft import load_torch_raft_state_dict
+
+    sd = fabricate_raft_state_dict()
+    raft = RAFT(num_iters=2)
+    a, b = _fixture_pair()
+    variables = raft.init(jax.random.PRNGKey(0), a, b)
+    unused = []
+    params = load_torch_raft_state_dict(variables["params"], sd, unused_out=unused)
+    assert not unused, f"porter left checkpoint tensors unconsumed: {unused}"
+    _assert_all_overwritten(variables["params"], params)
+    flow = raft.apply({"params": params}, a, b)
+    assert flow.shape == a.shape[:3] + (2,)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_dinov2_fabricated_state_dict_port():
+    from neural_jacobian_field_tpu.jacobian2d.vit import (
+        ViTS14, load_torch_dinov2_state_dict,
+    )
+
+    sd = fabricate_dinov2_state_dict()
+    vit = ViTS14()
+    img, _ = _fixture_pair(h=14 * 4, w=14 * 4)
+    variables = vit.init(jax.random.PRNGKey(0), img)
+    unused = []
+    params = load_torch_dinov2_state_dict(variables["params"], sd, unused_out=unused)
+    assert not unused, f"porter left checkpoint tensors unconsumed: {unused}"
+    _assert_all_overwritten(variables["params"], params)
+    feats = vit.apply({"params": params}, img)
+    assert feats.shape == (1, 4 * 4, 384)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
 def test_raft_pretrained_port():
     sd = _checkpoint("NJF_RAFT_CHECKPOINT", "fixtures/raft-things.pth")
     from neural_jacobian_field_tpu.flow import RAFT
