@@ -128,6 +128,13 @@ def _normalized_directions(directions: jax.Array) -> jax.Array:
     return (directions + 1.0) / 2.0
 
 
+def _cat_features(z):
+    """Pixel-aligned features arrive as a per-level tuple in the epipolar
+    path (pixel_aligned.py); ResnetFC trunks consume the tuple directly
+    (K7 contracts level-wise), every other consumer concats here."""
+    return jnp.concatenate(z, axis=-1) if isinstance(z, (tuple, list)) else z
+
+
 def _trunk_cls(remat: bool):
     """ResnetFC, optionally rematerialized (activations of the B*R*S point
     evals recomputed in backward instead of stored). compute_features is the
@@ -360,7 +367,8 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
         if arm:
             out, _ = self.jacobian_head_arm(dho.pixel_aligned_features, dho.xyz_features)
             return out
-        query = jnp.concatenate([dho.xyz_features, dho.pixel_aligned_features], axis=-1)
+        query = jnp.concatenate(
+            [dho.xyz_features, _cat_features(dho.pixel_aligned_features)], axis=-1)
         query = self.jacobian_query_mlp(query)
         tokens = self.jacobian_attn_decoder(query, z=self.jacobian_index_embedding)
         return self.jacobian_head(tokens.astype(jnp.float32))
@@ -409,7 +417,8 @@ class ActionDecoderFlowMlp(ActionDecoderBase):
                      arm: bool = False) -> Tuple[jax.Array, jax.Array]:
         head = self.flow_head_arm if arm else self.flow_head
         flow, features = head(
-            jnp.concatenate([dho.pixel_aligned_features, action], axis=-1),
+            jnp.concatenate([_cat_features(dho.pixel_aligned_features), action],
+                            axis=-1),
             dho.xyz_features, compute_features=True,
         )
         return flow, features

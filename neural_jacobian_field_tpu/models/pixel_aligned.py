@@ -16,7 +16,7 @@ from typing import Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..ops.epipolar import RayKnots, sample_ray_knots
+from ..ops.epipolar import RayKnots, sample_ray_knots_levels
 from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pixel_gather import PackedPyramid, pyramid_pixel_features
 from ..rendering.geometry import (
@@ -42,8 +42,11 @@ def get_pixel_aligned_features(
         per-ray epipolar knot textures (no per-sample gather).
 
     Returns:
-      features [B, N, C], camera-space xyz [B, N, 3], uv [B, N, 3]
-      (normalized homogeneous pixel coords, matching the reference's return).
+      features [B, N, C] — as a (fine, mid, coarse) TUPLE in the epipolar
+      path (consumers concat, or the K7 trunk contracts them level-wise
+      without materializing the concat) — plus camera-space xyz [B, N, 3]
+      and uv [B, N, 3] (normalized homogeneous pixel coords, matching the
+      reference's return).
     """
     c3d_world_hom = homogenize_points(coords_3d_world)
     c3d_cam_hom = transform_world2cam(c3d_world_hom, cam2world[:, None])
@@ -53,7 +56,7 @@ def get_pixel_aligned_features(
         hf, wf = img_features.fine_hw
         fx = c2d_cam[..., 0] * (wf - 1)
         fy = c2d_cam[..., 1] * (hf - 1)
-        feats = sample_ray_knots(img_features, fx, fy)
+        feats = sample_ray_knots_levels(img_features, fx, fy)
     elif isinstance(img_features, PackedPyramid):
         hf, wf = img_features.fine_hw
         fx = c2d_cam[..., 0] * (wf - 1)

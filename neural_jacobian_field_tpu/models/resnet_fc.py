@@ -97,7 +97,10 @@ class ResnetFC(nn.Module):
         return params
 
     @nn.compact
-    def __call__(self, z: jax.Array, x: jax.Array, compute_features: bool = False):
+    def __call__(self, z, x: jax.Array, compute_features: bool = False):
+        # z: [..., d_latent] or a tuple of per-level arrays summing to
+        # d_latent (pyramid features pre-concat — the K7 kernel consumes
+        # them level-wise, skipping the HBM concat; the XLA path concats).
         dt = self.compute_dtype
         act = (lambda v: nn.softplus(self.cfg.beta * v) / self.cfg.beta) if self.cfg.beta > 0 else nn.relu
 
@@ -121,6 +124,9 @@ class ResnetFC(nn.Module):
             params = self._declare_params(kinit, binit, x.shape[-1])
             out = fused_resnet_fc_train(params, self.cfg, z, x, self.d_out)
             return out, None
+
+        if isinstance(z, (tuple, list)):
+            z = jnp.concatenate(z, axis=-1)
 
         x = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),
                      bias_init=binit(init.zeros), dtype=dt, name="lin_in")(x)

@@ -194,13 +194,13 @@ def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     return out.reshape(b, r, sn, c)
 
 
-def sample_ray_knots(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> jax.Array:
-    """Per-sample features from the ray's knot textures.
-
-    fx/fy [B, N] fine-px projections of the samples (computed exactly by the
-    caller — the approximation is only in the feature interp, never in the
-    sample's position on the segment). N must be R*S for the knots' R.
-    Returns [B, N, Cf+Cm+Cc] f32 in reference channel order."""
+def sample_ray_knots_levels(knots: RayKnots, fx: jax.Array,
+                            fy: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-sample features from the ray's knot textures, one array per
+    pyramid level (fine, mid, coarse) — the K7 fused trunk consumes them
+    level-wise so the [N, 512] channel concat never exists in HBM (trace
+    r3: the concat + its backward split cost ~4.6 ms/step). See
+    sample_ray_knots for the concatenated form and semantics."""
     b, n = fx.shape
     r = knots.p0.shape[1]
     assert n % r == 0, f"sample count {n} not a multiple of ray count {r}"
@@ -209,12 +209,21 @@ def sample_ray_knots(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> jax.Array
     rel = p - knots.p0[:, :, None, :]
     s = jnp.sum(rel * knots.pdir[:, :, None, :], axis=-1) * knots.inv_len2[:, :, None, 0]
     s = jax.lax.stop_gradient(jnp.clip(s, 0.0, 1.0))
-    out = jnp.concatenate(
-        [
-            _interp_knots(knots.fine, s),
-            _interp_knots(knots.mid, s),
-            _interp_knots(knots.coarse, s),
-        ],
-        axis=-1,
+    return tuple(
+        _interp_knots(level, s).reshape(b, n, -1)
+        for level in (knots.fine, knots.mid, knots.coarse)
     )
-    return out.reshape(b, n, -1).astype(jnp.float32)
+
+
+def sample_ray_knots(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> jax.Array:
+    """Per-sample features from the ray's knot textures.
+
+    fx/fy [B, N] fine-px projections of the samples (computed exactly by the
+    caller — the approximation is only in the feature interp, never in the
+    sample's position on the segment). N must be R*S for the knots' R.
+    Returns [B, N, Cf+Cm+Cc] in the knots' own dtype (bf16 in the flagship
+    bf16 config; upcasting to f32 here cost a 940 MB HBM round-trip per
+    stage — trace r3 convert_element_type.134/135 — and added no
+    information, since every downstream consumer either computes in bf16 or
+    upcasts lazily) in reference channel order."""
+    return jnp.concatenate(sample_ray_knots_levels(knots, fx, fy), axis=-1)

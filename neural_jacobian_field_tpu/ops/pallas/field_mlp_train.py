@@ -73,16 +73,26 @@ def _dot_at(a, g):
     )
 
 
-def _forward_tile(z, x_pe, win, bin_, wz, bz, blocks, n_lin_z, dh, stash):
+def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash):
     """Shared forward chain. Returns the final pre-activation x; if `stash`,
     also returns (x_in_i, relu(x_in_i), net_i, relu(net_i)) per block.
+
+    zs/wzs are parallel lists: the latent may arrive pre-split by pyramid
+    level (fine/mid/coarse), in which case tz accumulates one matmul per
+    level — mathematically the same contraction as the concatenated form,
+    but the [N, 512] concat (and its backward split) never exists in HBM.
 
     Every layer output is cast to bf16 (mirroring the XLA trunk's
     Dense(dtype=bf16) semantics) so the fwd/bwd recompute sees identical
     ReLU masks and the numerics track the unfused path."""
     bf = lambda v: v.astype(jnp.bfloat16)
     x = bf(_dot(x_pe, win) + bin_)
-    tz = bf(_dot(z, wz) + bz) if wz is not None else None
+    tz = None
+    if wzs is not None:
+        acc = _dot(zs[0], wzs[0])
+        for zl, wl in zip(zs[1:], wzs[1:]):
+            acc = acc + _dot(zl, wl)
+        tz = bf(acc + bz)
     saved = []
     for i, (w0, b0, w1, b1) in enumerate(blocks):
         if tz is not None and i < n_lin_z:
@@ -96,37 +106,51 @@ def _forward_tile(z, x_pe, win, bin_, wz, bz, blocks, n_lin_z, dh, stash):
     return x, saved
 
 
-def _make_fwd_kernel(n_blocks, n_lin_z, dh):
+def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels):
     def kernel(*refs):
         it = iter(refs)
-        z_ref, x_ref = next(it), next(it)
+        z_refs = [next(it) for _ in range(n_levels)]
+        x_ref = next(it)
         win, bin_ = next(it)[:], next(it)[:]
-        wz, bz = (next(it)[:], next(it)[:]) if n_lin_z > 0 else (None, None)
+        if n_lin_z > 0:
+            wzs = [next(it)[:] for _ in range(n_levels)]
+            bz = next(it)[:]
+        else:
+            wzs, bz = None, None
         blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
                   for _ in range(n_blocks)]
         wout, bout = next(it)[:], next(it)[:]
         out_ref = next(it)
 
-        x, _ = _forward_tile(z_ref[:], x_ref[:], win, bin_, wz, bz, blocks,
-                             n_lin_z, dh, stash=False)
+        x, _ = _forward_tile([z[:] for z in z_refs], x_ref[:], win, bin_,
+                             wzs, bz, blocks, n_lin_z, dh, stash=False)
         out_ref[:] = _dot(jnp.maximum(x, 0.0), wout) + bout
 
     return kernel
 
 
-def _make_bwd_kernel(n_blocks, n_lin_z, dh):
+def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels):
     def kernel(*refs):
         it = iter(refs)
-        z_ref, x_ref, g_ref = next(it), next(it), next(it)
+        z_refs = [next(it) for _ in range(n_levels)]
+        x_ref, g_ref = next(it), next(it)
         win, bin_ = next(it)[:], next(it)[:]
-        wz, bz = (next(it)[:], next(it)[:]) if n_lin_z > 0 else (None, None)
+        if n_lin_z > 0:
+            wzs = [next(it)[:] for _ in range(n_levels)]
+            bz = next(it)[:]
+        else:
+            wzs, bz = None, None
         blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
                   for _ in range(n_blocks)]
         wout, bout = next(it)[:], next(it)[:]
-        # outputs: dz, dwin, dbin, [dwz, dbz], [dw0 db0 dw1 db1]*, dwout, dbout
-        dz_ref = next(it)
+        # outputs: dz*, dwin, dbin, [dwz* dbz], [dw0 db0 dw1 db1]*, dwout, dbout
+        dz_refs = [next(it) for _ in range(n_levels)]
         dwin_ref, dbin_ref = next(it), next(it)
-        dwz_ref, dbz_ref = (next(it), next(it)) if n_lin_z > 0 else (None, None)
+        if n_lin_z > 0:
+            dwz_refs = [next(it) for _ in range(n_levels)]
+            dbz_ref = next(it)
+        else:
+            dwz_refs, dbz_ref = None, None
         dblocks = [(next(it), next(it), next(it), next(it))
                    for _ in range(n_blocks)]
         dwout_ref, dbout_ref = next(it), next(it)
@@ -137,8 +161,9 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh):
         def _():
             dwin_ref[:] = jnp.zeros_like(dwin_ref)
             dbin_ref[:] = jnp.zeros_like(dbin_ref)
-            if dwz_ref is not None:
-                dwz_ref[:] = jnp.zeros_like(dwz_ref)
+            if dwz_refs is not None:
+                for dwz in dwz_refs:
+                    dwz[:] = jnp.zeros_like(dwz)
                 dbz_ref[:] = jnp.zeros_like(dbz_ref)
             for dw0, db0, dw1, db1 in dblocks:
                 dw0[:] = jnp.zeros_like(dw0)
@@ -148,8 +173,9 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh):
             dwout_ref[:] = jnp.zeros_like(dwout_ref)
             dbout_ref[:] = jnp.zeros_like(dbout_ref)
 
-        z, x_pe, g = z_ref[:], x_ref[:], g_ref[:]
-        x_last, saved = _forward_tile(z, x_pe, win, bin_, wz, bz, blocks,
+        zs = [z[:] for z in z_refs]
+        x_pe, g = x_ref[:], g_ref[:]
+        x_last, saved = _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks,
                                       n_lin_z, dh, stash=True)
 
         # lin_out
@@ -175,11 +201,13 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh):
 
         if n_lin_z > 0:
             dtz_all = jnp.concatenate(list(reversed(dtz)), axis=-1)
-            dwz_ref[:] += _dot_at(z, dtz_all)
+            for zl, wl, dz_ref, dwz_ref in zip(zs, wzs, dz_refs, dwz_refs):
+                dwz_ref[:] += _dot_at(zl, dtz_all)
+                dz_ref[:] = _dot_t(dtz_all, wl).astype(dz_ref.dtype)
             dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
-            dz_ref[:] = _dot_t(dtz_all, wz).astype(dz_ref.dtype)
         else:
-            dz_ref[:] = jnp.zeros_like(dz_ref)
+            for dz_ref in dz_refs:
+                dz_ref[:] = jnp.zeros_like(dz_ref)
 
         dwin_ref[:] += _dot_at(x_pe, dx)
         dbin_ref[:] += jnp.sum(dx, axis=0, keepdims=True)
@@ -187,9 +215,11 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh):
     return kernel
 
 
-def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype):
-    """Params dict -> flat (weights list, spec builders). Biases are [1, d]
-    so every operand is 2-D (TPU-friendly)."""
+def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype, z_dims):
+    """Params dict -> flat weights list. Biases are [1, d] so every operand
+    is 2-D (TPU-friendly). The fused lin_z kernel [d_latent, n*dh] is split
+    into one row-block per latent level (z_dims) so pre-split latents skip
+    the HBM concat."""
     def w(name):
         return params[name]["kernel"].astype(dtype)
 
@@ -198,8 +228,12 @@ def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype):
 
     out = [w("lin_in"), b("lin_in")]
     if n_lin_z > 0:
-        out += [jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1),
-                jnp.concatenate([b(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)]
+        wz_cat = jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)
+        r = 0
+        for d in z_dims:
+            out.append(wz_cat[r:r + d])
+            r += d
+        out.append(jnp.concatenate([b(f"lin_z_{i}") for i in range(n_lin_z)], axis=1))
     for i in range(cfg.n_blocks):
         out += [w(f"blocks_{i}_fc_0"), b(f"blocks_{i}_fc_0"),
                 w(f"blocks_{i}_fc_1"), b(f"blocks_{i}_fc_1")]
@@ -216,8 +250,13 @@ def _whole(arr_shape):
 def fused_resnet_fc_train(params, cfg: MlpCfg, z, x, d_out: int,
                           interpret: bool = False):
     """ResnetFC trunk, fused fwd+bwd. params: the Flax param dict of
-    models/resnet_fc.py. z [..., d_latent], x [..., d_in] -> [..., d_out]
-    f32. Differentiable wrt params and z (x gets a zero cotangent)."""
+    models/resnet_fc.py. z [..., d_latent] OR a tuple of per-level arrays
+    whose last dims sum to d_latent (the pyramid's fine/mid/coarse features
+    pre-concat — the kernel contracts them against the matching lin_z row
+    blocks, so the [N, 512] concat and its backward split never hit HBM;
+    trace r3: 2x1.27 ms concat + 2.1 ms split at the reference shape).
+    x [..., d_in] -> [..., d_out] f32. Differentiable wrt params and z
+    (x gets a zero cotangent)."""
     out, _ = _k7_fwd(params, cfg, z, x, d_out, interpret)
     return out
 
@@ -229,38 +268,45 @@ def _pad_rows(a, n_pad):
     return a
 
 
+def _as_levels(z):
+    return list(z) if isinstance(z, (tuple, list)) else [z]
+
+
 def _k7_fwd(params, cfg, z, x, d_out, interpret):
     interpret = interpret or jax.default_backend() != "tpu"
-    lead = z.shape[:-1]
-    dz_dim, dx_dim = z.shape[-1], x.shape[-1]
-    z2 = z.reshape(-1, dz_dim)
+    zs = _as_levels(z)
+    lead = zs[0].shape[:-1]
+    z_dims = [zl.shape[-1] for zl in zs]
+    dx_dim = x.shape[-1]
+    z2s = [zl.reshape(-1, d) for zl, d in zip(zs, z_dims)]
     x2 = x.reshape(-1, dx_dim)
-    n = z2.shape[0]
+    n = z2s[0].shape[0]
     n_pad = _round_up(n, POINT_TILE)
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     dh = cfg.d_hidden
     do_pad = _round_up(d_out, 128)
 
-    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16)
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, z_dims)
     # pad lin_out to 128 lanes
     wout, bout = weights[-2], weights[-1]
     if do_pad != d_out:
         weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
-    zp = _pad_rows(z2.astype(jnp.bfloat16), n_pad)
+    zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh),
+        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs)),
         grid=(n_pad // POINT_TILE,),
-        in_specs=[point(dz_dim), point(dx_dim)] + [_whole(w.shape) for w in weights],
+        in_specs=[point(d) for d in z_dims] + [point(dx_dim)]
+        + [_whole(w.shape) for w in weights],
         out_specs=point(do_pad),
         out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
         interpret=interpret,
-    )(zp, xp, *weights)
+    )(*zps, xp, *weights)
     out = out[:n, :d_out].reshape(*lead, d_out)
     return out, (params, z, x)
 
@@ -268,24 +314,26 @@ def _k7_fwd(params, cfg, z, x, d_out, interpret):
 def _k7_bwd(cfg, d_out, interpret, res, g):
     params, z, x = res
     interpret = interpret or jax.default_backend() != "tpu"
-    lead = z.shape[:-1]
-    dz_dim, dx_dim = z.shape[-1], x.shape[-1]
-    z2 = z.reshape(-1, dz_dim)
+    zs = _as_levels(z)
+    lead = zs[0].shape[:-1]
+    z_dims = [zl.shape[-1] for zl in zs]
+    dx_dim = x.shape[-1]
+    z2s = [zl.reshape(-1, d) for zl, d in zip(zs, z_dims)]
     x2 = x.reshape(-1, dx_dim)
     g2 = g.reshape(-1, d_out)
-    n = z2.shape[0]
+    n = z2s[0].shape[0]
     n_pad = _round_up(n, POINT_TILE)
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     dh = cfg.d_hidden
     do_pad = _round_up(d_out, 128)
 
-    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16)
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, z_dims)
     wout, bout = weights[-2], weights[-1]
     if do_pad != d_out:
         weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
-    zp = _pad_rows(z2.astype(jnp.bfloat16), n_pad)
+    zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
     gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
     if do_pad != d_out:
@@ -293,27 +341,28 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
-    # grad outputs mirror the weights list (f32), preceded by dz — emitted
-    # directly in z's dtype: an f32 dz at the reference shape is a 940 MB
-    # HBM write plus a 2x2.1 ms convert pass (trace r2)
-    grad_shapes = [jax.ShapeDtypeStruct((n_pad, dz_dim), z.dtype)]
-    grad_specs = [point(dz_dim)]
+    # grad outputs: per-level dz first — emitted directly in each z's dtype
+    # (an f32 dz at the reference shape is a 940 MB HBM write plus a
+    # 2x2.1 ms convert pass, trace r2/r3) — then the weight grads (f32).
+    grad_shapes = [jax.ShapeDtypeStruct((n_pad, d), zl.dtype)
+                   for zl, d in zip(zs, z_dims)]
+    grad_specs = [point(d) for d in z_dims]
     for wgt in weights:
         grad_shapes.append(jax.ShapeDtypeStruct(wgt.shape, jnp.float32))
         grad_specs.append(_whole(wgt.shape))
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh),
+        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs)),
         grid=(n_pad // POINT_TILE,),
-        in_specs=[point(dz_dim), point(dx_dim), point(do_pad)]
+        in_specs=[point(d) for d in z_dims] + [point(dx_dim), point(do_pad)]
         + [_whole(w.shape) for w in weights],
         out_specs=grad_specs,
         out_shape=grad_shapes,
         interpret=interpret,
-    )(zp, xp, gp, *weights)
+    )(*zps, xp, gp, *weights)
 
-    dz = outs[0][:n].reshape(*lead, dz_dim)
-    it = iter(outs[1:])
+    dzs = [o[:n].reshape(*lead, d) for o, d in zip(outs, z_dims)]
+    it = iter(outs[len(zs):])
 
     def unb(b2d):
         return b2d[0]
@@ -322,7 +371,8 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
     dwin, dbin = next(it), next(it)
     dparams["lin_in"] = {"kernel": dwin, "bias": unb(dbin)}
     if n_lin_z > 0:
-        dwz, dbz = next(it), next(it)
+        dwz = jnp.concatenate([next(it) for _ in range(len(zs))], axis=0)
+        dbz = next(it)
         for i in range(n_lin_z):
             dparams[f"lin_z_{i}"] = {
                 "kernel": dwz[:, i * dh:(i + 1) * dh],
@@ -337,6 +387,7 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
 
     # params may be f32: cast grads to the param dtypes
     dparams = jax.tree.map(lambda p, gr: gr.astype(p.dtype), dict(params), dparams)
+    dz = type(z)(dzs) if isinstance(z, (tuple, list)) else dzs[0]
     return dparams, dz, jnp.zeros_like(x)
 
 

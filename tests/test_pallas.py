@@ -115,3 +115,22 @@ def test_fused_resnet_fc_train_parity():
     assert set(fa) == set(fb)
     for k in fa:
         assert frob_rel(fb[k], fa[k]) < 0.05, (k, frob_rel(fb[k], fa[k]))
+
+    # split-latent form: z passed as a per-level tuple (128, 64, 64) — the
+    # same contraction against the lin_z row blocks, but tz accumulates one
+    # partial dot per level, so results match the concatenated call only up
+    # to bf16/f32 summation reorder (observed <0.3% of elements at ~2e-3).
+    z_tuple = (z[:, :128], z[:, 128:192], z[:, 192:])
+
+    def k7_split_fn(p, zt):
+        out = fused_resnet_fc_train(p, cfg, zt, x, dout, True)
+        return jnp.sum(out * g)
+
+    k7_split_out = fused_resnet_fc_train(params, cfg, z_tuple, x, dout, True)
+    np.testing.assert_allclose(np.asarray(k7_split_out), np.asarray(k7_out),
+                               rtol=1e-2, atol=1e-2)
+    (dp_c, dz_c) = jax.grad(k7_split_fn, argnums=(0, 1))(params, z_tuple)
+    assert frob_rel(jnp.concatenate(dz_c, axis=-1), dz_b) < 0.01
+    fc = tu.flatten_dict(dp_c, sep="/")
+    for k in fb:
+        assert frob_rel(fc[k], fb[k]) < 0.01, (k, frob_rel(fc[k], fb[k]))
