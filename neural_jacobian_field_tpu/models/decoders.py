@@ -129,9 +129,13 @@ def _normalized_directions(directions: jax.Array) -> jax.Array:
 
 
 def _cat_features(z):
-    """Pixel-aligned features arrive as a per-level tuple in the epipolar
-    path (pixel_aligned.py); ResnetFC trunks consume the tuple directly
-    (K7 contracts level-wise), every other consumer concats here."""
+    """Pixel-aligned features arrive as a lazy KnotFeatures in the epipolar
+    path (pixel_aligned.py); ResnetFC trunks consume it directly (knot-side
+    projection + K7), every other consumer materializes here."""
+    from ..ops.epipolar import KnotFeatures
+
+    if isinstance(z, KnotFeatures):
+        return z.concat()
     return jnp.concatenate(z, axis=-1) if isinstance(z, (tuple, list)) else z
 
 

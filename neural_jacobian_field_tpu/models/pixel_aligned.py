@@ -16,7 +16,7 @@ from typing import Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..ops.epipolar import RayKnots, sample_ray_knots_levels
+from ..ops.epipolar import RayKnots, knot_features
 from ..ops.grid_sample import grid_sample_bilinear
 from ..ops.pixel_gather import PackedPyramid, pyramid_pixel_features
 from ..rendering.geometry import (
@@ -42,9 +42,10 @@ def get_pixel_aligned_features(
         per-ray epipolar knot textures (no per-sample gather).
 
     Returns:
-      features [B, N, C] — as a (fine, mid, coarse) TUPLE in the epipolar
-      path (consumers concat, or the K7 trunk contracts them level-wise
-      without materializing the concat) — plus camera-space xyz [B, N, 3]
+      features [B, N, C] — as a lazy KnotFeatures in the epipolar path
+      (ResnetFC trunks project the knots before interpolating, skipping
+      both the [N, 512] concat and the sample-sized lin_z contraction;
+      other consumers call .concat()) — plus camera-space xyz [B, N, 3]
       and uv [B, N, 3] (normalized homogeneous pixel coords, matching the
       reference's return).
     """
@@ -56,7 +57,7 @@ def get_pixel_aligned_features(
         hf, wf = img_features.fine_hw
         fx = c2d_cam[..., 0] * (wf - 1)
         fy = c2d_cam[..., 1] * (hf - 1)
-        feats = sample_ray_knots_levels(img_features, fx, fy)
+        feats = knot_features(img_features, fx, fy)
     elif isinstance(img_features, PackedPyramid):
         hf, wf = img_features.fine_hw
         fx = c2d_cam[..., 0] * (wf - 1)

@@ -118,14 +118,46 @@ class ResnetFC(nn.Module):
             # the XLA chain unless the model already runs bf16
             and dt == jnp.bfloat16
         )
+        from ..ops.epipolar import KnotFeatures
+
         if use_fused:
-            from ..ops.pallas.field_mlp_train import fused_resnet_fc_train
+            from ..ops.pallas.field_mlp_train import (
+                fused_resnet_fc_train, fused_resnet_fc_train_tz,
+            )
 
             params = self._declare_params(kinit, binit, x.shape[-1])
+            n_lin_z = min(self.cfg.combine_layer, self.cfg.n_blocks)
+            if isinstance(z, KnotFeatures) and n_lin_z > 0:
+                # knot-side latent projection: tz = sum_l H @ (K_l @ W_l)
+                # + b — linearity moves the lin_z contraction from the
+                # samples (N x 512 x n*dh, paid 4x across fwd + recompute +
+                # backward) to the M knots per ray; the kernel skips lin_z
+                # entirely (ops/epipolar.KnotFeatures).
+                dh = self.cfg.d_hidden
+                wz_cat = jnp.concatenate(
+                    [params[f"lin_z_{i}"]["kernel"] for i in range(n_lin_z)],
+                    axis=1)
+                bz_cat = jnp.concatenate(
+                    [params[f"lin_z_{i}"]["bias"] for i in range(n_lin_z)])
+                dims = [lvl.shape[-1] for lvl in z.levels]
+                w_rows, r0 = [], 0
+                for d in dims:
+                    w_rows.append(wz_cat[r0:r0 + d])
+                    r0 += d
+                tz = z.project_then_interp(w_rows, bias=bz_cat)
+                params_no_z = {k: v for k, v in params.items()
+                               if not k.startswith("lin_z_")}
+                out = fused_resnet_fc_train_tz(params_no_z, self.cfg, tz, x,
+                                               self.d_out)
+                return out, None
+            if isinstance(z, KnotFeatures):
+                z = z.interp_levels()
             out = fused_resnet_fc_train(params, self.cfg, z, x, self.d_out)
             return out, None
 
-        if isinstance(z, (tuple, list)):
+        if isinstance(z, KnotFeatures):
+            z = z.concat()
+        elif isinstance(z, (tuple, list)):
             z = jnp.concatenate(z, axis=-1)
 
         x = nn.Dense(self.cfg.d_hidden, kernel_init=kinit(init.kaiming_normal_in),

@@ -169,6 +169,18 @@ def build_ray_knots(
     )
 
 
+def _hat_matrix(s: jax.Array, m: int, dtype) -> jax.Array:
+    """2-sparse linear-interp hat weights over m knots: [B, R, S, m] with
+    (1-w) at floor(s*(m-1)) and w at the next knot."""
+    pos = s * (m - 1)
+    k0 = jnp.clip(jnp.floor(pos), 0, m - 2)
+    w = (pos - k0).astype(dtype)
+    k0 = k0.astype(jnp.int32)[..., None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, m), 3)
+    onehot = jnp.where(cols == k0, (1.0 - w)[..., None], 0.0).astype(dtype)
+    return onehot + jnp.where(cols == k0 + 1, w[..., None], 0.0).astype(dtype)
+
+
 def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     """Linear interp along the knot axis via a 2-sparse one-hot matmul (MXU;
     a take_along_axis here would reintroduce the per-sample gather this
@@ -179,13 +191,7 @@ def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     XLA materialize an extra [B, R, S, C] layout copy each way)."""
     b, r, m, c = level.shape
     sn = s.shape[2]
-    pos = s * (m - 1)
-    k0 = jnp.clip(jnp.floor(pos), 0, m - 2)
-    w = (pos - k0).astype(level.dtype)
-    k0 = k0.astype(jnp.int32)[..., None]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, m), 3)
-    onehot = jnp.where(cols == k0, (1.0 - w)[..., None], 0.0).astype(level.dtype)
-    onehot = onehot + jnp.where(cols == k0 + 1, w[..., None], 0.0).astype(level.dtype)
+    onehot = _hat_matrix(s, m, level.dtype)
     out = jax.lax.dot_general(
         onehot.reshape(b * r, sn, m), level.reshape(b * r, m, c),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -194,13 +200,67 @@ def _interp_knots(level: jax.Array, s: jax.Array) -> jax.Array:
     return out.reshape(b, r, sn, c)
 
 
-def sample_ray_knots_levels(knots: RayKnots, fx: jax.Array,
-                            fy: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-sample features from the ray's knot textures, one array per
-    pyramid level (fine, mid, coarse) — the K7 fused trunk consumes them
-    level-wise so the [N, 512] channel concat never exists in HBM (trace
-    r3: the concat + its backward split cost ~4.6 ms/step). See
-    sample_ray_knots for the concatenated form and semantics."""
+@flax.struct.dataclass
+class KnotFeatures:
+    """Lazy pixel-aligned features: the per-ray knot textures plus each
+    sample's segment position, NOT yet interpolated.
+
+    Because both the knot->sample interpolation H and the trunk's latent
+    projection W are linear, tz = (H @ K) @ W can be computed as
+    H @ (K @ W): project the M knots (M=88 rows/ray) instead of the S
+    samples (S=256+) and interpolate the projections. ResnetFC's fused path
+    exploits this (resnet_fc.py) — the lin_z contraction drops from
+    N x 512 x (n*128) per trunk pass to the knot-sized equivalent, removing
+    ~half the trunk FLOPs from K7's fwd AND recompute-bwd. `interp_levels`/
+    `concat` materialize the classic per-sample features for every other
+    consumer.
+    """
+
+    levels: Tuple[jax.Array, ...]  # ([B,R,Mf,Cf], [B,R,Mm,Cm], [B,R,Mc,Cc])
+    s: jax.Array  # [B, R, S] segment positions in [0, 1], stop-gradient
+
+    def interp_levels(self) -> Tuple[jax.Array, ...]:
+        b, r, sn = self.s.shape
+        return tuple(
+            _interp_knots(level, self.s).reshape(b, r * sn, -1)
+            for level in self.levels
+        )
+
+    def concat(self) -> jax.Array:
+        return jnp.concatenate(self.interp_levels(), axis=-1)
+
+    def project_then_interp(self, w_rows, bias=None) -> jax.Array:
+        """tz = sum_l H_l @ (K_l @ W_l) (+ bias): the knot-side form of
+        concat() @ W for row blocks W_l of W matching the level channel
+        dims. Returns [B, N, d] in the levels' dtype.
+
+        The per-level projections are STACKED along the knot axis and
+        contracted in ONE batched matmul against the stacked hat blocks —
+        three separate H_l @ KW_l dots each write a full-width [N, d]
+        partial (measured a net LOSS vs the in-kernel lin_z at reference
+        shapes); the stacked form writes the [N, d] output once."""
+        b, r, sn = self.s.shape
+        kws, hats = [], []
+        for level, w in zip(self.levels, w_rows):
+            kws.append(jnp.einsum("brmc,cd->brmd", level, w.astype(level.dtype)))
+            hats.append(_hat_matrix(self.s, level.shape[2], level.dtype))
+        kw = jnp.concatenate(kws, axis=2)  # [B, R, M_total, d]
+        hat = jnp.concatenate(hats, axis=-1)  # [B, R, S, M_total]
+        m, d = kw.shape[2], kw.shape[3]
+        out = jax.lax.dot_general(
+            hat.reshape(b * r, sn, m), kw.reshape(b * r, m, d),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(kw.dtype).reshape(b, r * sn, d)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def knot_features(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> KnotFeatures:
+    """Bind the ray's knot textures to the samples' segment positions
+    (lazily — see KnotFeatures). fx/fy [B, N] fine-px projections; N must
+    be R*S for the knots' R."""
     b, n = fx.shape
     r = knots.p0.shape[1]
     assert n % r == 0, f"sample count {n} not a multiple of ray count {r}"
@@ -209,10 +269,16 @@ def sample_ray_knots_levels(knots: RayKnots, fx: jax.Array,
     rel = p - knots.p0[:, :, None, :]
     s = jnp.sum(rel * knots.pdir[:, :, None, :], axis=-1) * knots.inv_len2[:, :, None, 0]
     s = jax.lax.stop_gradient(jnp.clip(s, 0.0, 1.0))
-    return tuple(
-        _interp_knots(level, s).reshape(b, n, -1)
-        for level in (knots.fine, knots.mid, knots.coarse)
-    )
+    return KnotFeatures(levels=(knots.fine, knots.mid, knots.coarse), s=s)
+
+
+def sample_ray_knots_levels(knots: RayKnots, fx: jax.Array,
+                            fy: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-sample features from the ray's knot textures, one array per
+    pyramid level (fine, mid, coarse) — consumers that need the
+    materialized features (the XLA trunk path, the transformer head) concat
+    these; the K7 fused trunk instead takes the lazy KnotFeatures."""
+    return knot_features(knots, fx, fy).interp_levels()
 
 
 def sample_ray_knots(knots: RayKnots, fx: jax.Array, fy: jax.Array) -> jax.Array:

@@ -73,7 +73,8 @@ def _dot_at(a, g):
     )
 
 
-def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash):
+def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash,
+                  tz=None):
     """Shared forward chain. Returns the final pre-activation x; if `stash`,
     also returns (x_in_i, relu(x_in_i), net_i, relu(net_i)) per block.
 
@@ -81,14 +82,18 @@ def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash):
     level (fine/mid/coarse), in which case tz accumulates one matmul per
     level — mathematically the same contraction as the concatenated form,
     but the [N, 512] concat (and its backward split) never exists in HBM.
+    Alternatively `tz` arrives PRECOMPUTED (knot-side projection,
+    ops/epipolar.KnotFeatures) and the lin_z contraction is skipped
+    entirely.
 
     Every layer output is cast to bf16 (mirroring the XLA trunk's
     Dense(dtype=bf16) semantics) so the fwd/bwd recompute sees identical
     ReLU masks and the numerics track the unfused path."""
     bf = lambda v: v.astype(jnp.bfloat16)
     x = bf(_dot(x_pe, win) + bin_)
-    tz = None
-    if wzs is not None:
+    if tz is not None:
+        tz = bf(tz)
+    elif wzs is not None:
         acc = _dot(zs[0], wzs[0])
         for zl, wl in zip(zs[1:], wzs[1:]):
             acc = acc + _dot(zl, wl)
@@ -106,13 +111,16 @@ def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash):
     return x, saved
 
 
-def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels):
+def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
     def kernel(*refs):
         it = iter(refs)
-        z_refs = [next(it) for _ in range(n_levels)]
+        if tz_mode:
+            z_refs, tz_ref = [], next(it)
+        else:
+            z_refs, tz_ref = [next(it) for _ in range(n_levels)], None
         x_ref = next(it)
         win, bin_ = next(it)[:], next(it)[:]
-        if n_lin_z > 0:
+        if n_lin_z > 0 and not tz_mode:
             wzs = [next(it)[:] for _ in range(n_levels)]
             bz = next(it)[:]
         else:
@@ -123,19 +131,23 @@ def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels):
         out_ref = next(it)
 
         x, _ = _forward_tile([z[:] for z in z_refs], x_ref[:], win, bin_,
-                             wzs, bz, blocks, n_lin_z, dh, stash=False)
+                             wzs, bz, blocks, n_lin_z, dh, stash=False,
+                             tz=tz_ref[:] if tz_mode else None)
         out_ref[:] = _dot(jnp.maximum(x, 0.0), wout) + bout
 
     return kernel
 
 
-def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels):
+def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
     def kernel(*refs):
         it = iter(refs)
-        z_refs = [next(it) for _ in range(n_levels)]
+        if tz_mode:
+            z_refs, tz_ref = [], next(it)
+        else:
+            z_refs, tz_ref = [next(it) for _ in range(n_levels)], None
         x_ref, g_ref = next(it), next(it)
         win, bin_ = next(it)[:], next(it)[:]
-        if n_lin_z > 0:
+        if n_lin_z > 0 and not tz_mode:
             wzs = [next(it)[:] for _ in range(n_levels)]
             bz = next(it)[:]
         else:
@@ -143,10 +155,14 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels):
         blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
                   for _ in range(n_blocks)]
         wout, bout = next(it)[:], next(it)[:]
-        # outputs: dz*, dwin, dbin, [dwz* dbz], [dw0 db0 dw1 db1]*, dwout, dbout
-        dz_refs = [next(it) for _ in range(n_levels)]
+        # outputs: dz* (or dtz), dwin, dbin, [dwz* dbz], [dw0 db0 dw1 db1]*,
+        # dwout, dbout
+        if tz_mode:
+            dz_refs, dtz_ref = [], next(it)
+        else:
+            dz_refs, dtz_ref = [next(it) for _ in range(n_levels)], None
         dwin_ref, dbin_ref = next(it), next(it)
-        if n_lin_z > 0:
+        if n_lin_z > 0 and not tz_mode:
             dwz_refs = [next(it) for _ in range(n_levels)]
             dbz_ref = next(it)
         else:
@@ -176,7 +192,8 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels):
         zs = [z[:] for z in z_refs]
         x_pe, g = x_ref[:], g_ref[:]
         x_last, saved = _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks,
-                                      n_lin_z, dh, stash=True)
+                                      n_lin_z, dh, stash=True,
+                                      tz=tz_ref[:] if tz_mode else None)
 
         # lin_out
         ax_last = jnp.maximum(x_last, 0.0)
@@ -201,13 +218,18 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels):
 
         if n_lin_z > 0:
             dtz_all = jnp.concatenate(list(reversed(dtz)), axis=-1)
-            for zl, wl, dz_ref, dwz_ref in zip(zs, wzs, dz_refs, dwz_refs):
-                dwz_ref[:] += _dot_at(zl, dtz_all)
-                dz_ref[:] = _dot_t(dtz_all, wl).astype(dz_ref.dtype)
-            dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
+            if tz_mode:
+                dtz_ref[:] = dtz_all.astype(dtz_ref.dtype)
+            else:
+                for zl, wl, dz_ref, dwz_ref in zip(zs, wzs, dz_refs, dwz_refs):
+                    dwz_ref[:] += _dot_at(zl, dtz_all)
+                    dz_ref[:] = _dot_t(dtz_all, wl).astype(dz_ref.dtype)
+                dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
         else:
             for dz_ref in dz_refs:
                 dz_ref[:] = jnp.zeros_like(dz_ref)
+            if dtz_ref is not None:
+                dtz_ref[:] = jnp.zeros_like(dtz_ref)
 
         dwin_ref[:] += _dot_at(x_pe, dx)
         dbin_ref[:] += jnp.sum(dx, axis=0, keepdims=True)
@@ -227,7 +249,7 @@ def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype, z_dims):
         return params[name]["bias"].astype(dtype)[None, :]
 
     out = [w("lin_in"), b("lin_in")]
-    if n_lin_z > 0:
+    if n_lin_z > 0 and z_dims is not None:
         wz_cat = jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)
         r = 0
         for d in z_dims:
@@ -394,4 +416,131 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
 fused_resnet_fc_train.defvjp(
     lambda params, cfg, z, x, d_out, interpret: _k7_fwd(params, cfg, z, x, d_out, interpret),
     lambda cfg, d_out, interpret, res, g: _k7_bwd(cfg, d_out, interpret, res, g),
+)
+
+
+# ---------------------------------------------------------------------------
+# tz mode: the latent injection arrives PRECOMPUTED (knot-side projection,
+# ops/epipolar.KnotFeatures.project_then_interp) and the kernel skips the
+# lin_z contraction in forward, recompute AND backward — at the reference
+# trunk (512 latent, 3x128 injection) that contraction is ~half the trunk
+# FLOPs, paid 4x per fwd+bwd pair. `params` here must NOT contain lin_z_*
+# entries (their gradients flow through tz's XLA producer chain instead).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def fused_resnet_fc_train_tz(params, cfg: MlpCfg, tz, x, d_out: int,
+                             interpret: bool = False):
+    """ResnetFC trunk with precomputed latent injections.
+
+    tz [..., n_lin_z*d_hidden] — lin_z(z) + bias, already summed per block
+    slice. x [..., d_in] -> [..., d_out] f32. Differentiable wrt params
+    (minus lin_z) and tz; x gets a zero cotangent."""
+    out, _ = _k7tz_fwd(params, cfg, tz, x, d_out, interpret)
+    return out
+
+
+def _k7tz_fwd(params, cfg, tz, x, d_out, interpret):
+    interpret = interpret or jax.default_backend() != "tpu"
+    lead = tz.shape[:-1]
+    tz_dim, dx_dim = tz.shape[-1], x.shape[-1]
+    tz2 = tz.reshape(-1, tz_dim)
+    x2 = x.reshape(-1, dx_dim)
+    n = tz2.shape[0]
+    n_pad = _round_up(n, POINT_TILE)
+    n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
+    assert tz_dim == n_lin_z * cfg.d_hidden, (tz_dim, n_lin_z, cfg.d_hidden)
+    dh = cfg.d_hidden
+    do_pad = _round_up(d_out, 128)
+
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, None)
+    wout, bout = weights[-2], weights[-1]
+    if do_pad != d_out:
+        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
+        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
+
+    tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
+
+    point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
+        grid=(n_pad // POINT_TILE,),
+        in_specs=[point(tz_dim), point(dx_dim)] + [_whole(w.shape) for w in weights],
+        out_specs=point(do_pad),
+        out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
+        interpret=interpret,
+    )(tzp, xp, *weights)
+    out = out[:n, :d_out].reshape(*lead, d_out)
+    return out, (params, tz, x)
+
+
+def _k7tz_bwd(cfg, d_out, interpret, res, g):
+    params, tz, x = res
+    interpret = interpret or jax.default_backend() != "tpu"
+    lead = tz.shape[:-1]
+    tz_dim, dx_dim = tz.shape[-1], x.shape[-1]
+    tz2 = tz.reshape(-1, tz_dim)
+    x2 = x.reshape(-1, dx_dim)
+    g2 = g.reshape(-1, d_out)
+    n = tz2.shape[0]
+    n_pad = _round_up(n, POINT_TILE)
+    n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
+    dh = cfg.d_hidden
+    do_pad = _round_up(d_out, 128)
+
+    weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, None)
+    wout, bout = weights[-2], weights[-1]
+    if do_pad != d_out:
+        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
+        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
+
+    tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
+    gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
+    if do_pad != d_out:
+        gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
+
+    point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    grad_shapes = [jax.ShapeDtypeStruct((n_pad, tz_dim), tz.dtype)]
+    grad_specs = [point(tz_dim)]
+    for wgt in weights:
+        grad_shapes.append(jax.ShapeDtypeStruct(wgt.shape, jnp.float32))
+        grad_specs.append(_whole(wgt.shape))
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
+        grid=(n_pad // POINT_TILE,),
+        in_specs=[point(tz_dim), point(dx_dim), point(do_pad)]
+        + [_whole(w.shape) for w in weights],
+        out_specs=grad_specs,
+        out_shape=grad_shapes,
+        interpret=interpret,
+    )(tzp, xp, gp, *weights)
+
+    dtz = outs[0][:n].reshape(*lead, tz_dim)
+    it = iter(outs[1:])
+
+    def unb(b2d):
+        return b2d[0]
+
+    dparams = {}
+    dwin, dbin = next(it), next(it)
+    dparams["lin_in"] = {"kernel": dwin, "bias": unb(dbin)}
+    for i in range(cfg.n_blocks):
+        dw0, db0, dw1, db1 = next(it), next(it), next(it), next(it)
+        dparams[f"blocks_{i}_fc_0"] = {"kernel": dw0, "bias": unb(db0)}
+        dparams[f"blocks_{i}_fc_1"] = {"kernel": dw1, "bias": unb(db1)}
+    dwout, dbout = next(it), next(it)
+    dparams["lin_out"] = {"kernel": dwout[:, :d_out], "bias": unb(dbout)[:d_out]}
+    dparams = jax.tree.map(lambda p, gr: gr.astype(p.dtype), dict(params), dparams)
+    return dparams, dtz, jnp.zeros_like(x)
+
+
+fused_resnet_fc_train_tz.defvjp(
+    lambda params, cfg, tz, x, d_out, interpret: _k7tz_fwd(params, cfg, tz, x, d_out, interpret),
+    lambda cfg, d_out, interpret, res, g: _k7tz_bwd(cfg, d_out, interpret, res, g),
 )
