@@ -133,21 +133,22 @@ class ResnetFC(nn.Module):
                 # samples (N x 512 x n*dh, paid 4x across fwd + recompute +
                 # backward) to the M knots per ray; the kernel skips lin_z
                 # entirely (ops/epipolar.KnotFeatures).
-                dh = self.cfg.d_hidden
                 wz_cat = jnp.concatenate(
                     [params[f"lin_z_{i}"]["kernel"] for i in range(n_lin_z)],
                     axis=1)
-                bz_cat = jnp.concatenate(
-                    [params[f"lin_z_{i}"]["bias"] for i in range(n_lin_z)])
                 dims = [lvl.shape[-1] for lvl in z.levels]
                 w_rows, r0 = [], 0
                 for d in dims:
                     w_rows.append(wz_cat[r0:r0 + d])
                     r0 += d
-                tz = z.project_then_interp(w_rows, bias=bz_cat)
-                params_no_z = {k: v for k, v in params.items()
-                               if not k.startswith("lin_z_")}
-                out = fused_resnet_fc_train_tz(params_no_z, self.cfg, tz, x,
+                tz = z.project_then_interp(w_rows)
+                # lin_z kernels differentiate through tz; the biases ride
+                # into the kernel (added + differentiated in VMEM)
+                params_tz = {
+                    k: ({"bias": v["bias"]} if k.startswith("lin_z_") else v)
+                    for k, v in params.items()
+                }
+                out = fused_resnet_fc_train_tz(params_tz, self.cfg, tz, x,
                                                self.d_out)
                 return out, None
             if isinstance(z, KnotFeatures):

@@ -242,8 +242,12 @@ class KnotFeatures:
         b, r, sn = self.s.shape
         kws, hats = [], []
         for level, w in zip(self.levels, w_rows):
-            kws.append(jnp.einsum("brmc,cd->brmd", level, w.astype(level.dtype)))
-            hats.append(_hat_matrix(self.s, level.shape[2], level.dtype))
+            lb, lr, m, c = level.shape
+            # plain 2-D matmul (an einsum here lowered as a convolution +
+            # convert chain, ~0.7 ms each on-chip)
+            kw_l = level.reshape(lb * lr * m, c) @ w.astype(level.dtype)
+            kws.append(kw_l.reshape(lb, lr, m, -1))
+            hats.append(_hat_matrix(self.s, m, level.dtype))
         kw = jnp.concatenate(kws, axis=2)  # [B, R, M_total, d]
         hat = jnp.concatenate(hats, axis=-1)  # [B, R, S, M_total]
         m, d = kw.shape[2], kw.shape[3]
@@ -253,6 +257,8 @@ class KnotFeatures:
             preferred_element_type=jnp.float32,
         ).astype(kw.dtype).reshape(b, r * sn, d)
         if bias is not None:
+            # prefer passing the bias to the K7 tz kernel instead (adds in
+            # VMEM); a broadcast add here costs a [N, d] HBM round-trip
             out = out + bias.astype(out.dtype)
         return out
 

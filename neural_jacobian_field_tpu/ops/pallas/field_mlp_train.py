@@ -92,7 +92,9 @@ def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash,
     bf = lambda v: v.astype(jnp.bfloat16)
     x = bf(_dot(x_pe, win) + bin_)
     if tz is not None:
-        tz = bf(tz)
+        # precomputed injection; bias (bz) added here in VMEM — an XLA-side
+        # broadcast add costs a [N, n*dh] HBM round-trip (trace r3c)
+        tz = bf(tz + bz) if bz is not None else bf(tz)
     elif wzs is not None:
         acc = _dot(zs[0], wzs[0])
         for zl, wl in zip(zs[1:], wzs[1:]):
@@ -120,11 +122,10 @@ def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
             z_refs, tz_ref = [next(it) for _ in range(n_levels)], None
         x_ref = next(it)
         win, bin_ = next(it)[:], next(it)[:]
+        wzs = None
         if n_lin_z > 0 and not tz_mode:
             wzs = [next(it)[:] for _ in range(n_levels)]
-            bz = next(it)[:]
-        else:
-            wzs, bz = None, None
+        bz = next(it)[:] if n_lin_z > 0 else None
         blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
                   for _ in range(n_blocks)]
         wout, bout = next(it)[:], next(it)[:]
@@ -147,26 +148,24 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
             z_refs, tz_ref = [next(it) for _ in range(n_levels)], None
         x_ref, g_ref = next(it), next(it)
         win, bin_ = next(it)[:], next(it)[:]
+        wzs = None
         if n_lin_z > 0 and not tz_mode:
             wzs = [next(it)[:] for _ in range(n_levels)]
-            bz = next(it)[:]
-        else:
-            wzs, bz = None, None
+        bz = next(it)[:] if n_lin_z > 0 else None
         blocks = [(next(it)[:], next(it)[:], next(it)[:], next(it)[:])
                   for _ in range(n_blocks)]
         wout, bout = next(it)[:], next(it)[:]
-        # outputs: dz* (or dtz), dwin, dbin, [dwz* dbz], [dw0 db0 dw1 db1]*,
+        # outputs: dz* (or dtz), dwin, dbin, [dwz*] dbz, [dw0 db0 dw1 db1]*,
         # dwout, dbout
         if tz_mode:
             dz_refs, dtz_ref = [], next(it)
         else:
             dz_refs, dtz_ref = [next(it) for _ in range(n_levels)], None
         dwin_ref, dbin_ref = next(it), next(it)
+        dwz_refs = None
         if n_lin_z > 0 and not tz_mode:
             dwz_refs = [next(it) for _ in range(n_levels)]
-            dbz_ref = next(it)
-        else:
-            dwz_refs, dbz_ref = None, None
+        dbz_ref = next(it) if n_lin_z > 0 else None
         dblocks = [(next(it), next(it), next(it), next(it))
                    for _ in range(n_blocks)]
         dwout_ref, dbout_ref = next(it), next(it)
@@ -180,6 +179,7 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
             if dwz_refs is not None:
                 for dwz in dwz_refs:
                     dwz[:] = jnp.zeros_like(dwz)
+            if dbz_ref is not None:
                 dbz_ref[:] = jnp.zeros_like(dbz_ref)
             for dw0, db0, dw1, db1 in dblocks:
                 dw0[:] = jnp.zeros_like(dw0)
@@ -224,7 +224,7 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
                 for zl, wl, dz_ref, dwz_ref in zip(zs, wzs, dz_refs, dwz_refs):
                     dwz_ref[:] += _dot_at(zl, dtz_all)
                     dz_ref[:] = _dot_t(dtz_all, wl).astype(dz_ref.dtype)
-                dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
+            dbz_ref[:] += jnp.sum(dtz_all, axis=0, keepdims=True)
         else:
             for dz_ref in dz_refs:
                 dz_ref[:] = jnp.zeros_like(dz_ref)
@@ -249,12 +249,16 @@ def _collect_weights(params, cfg: MlpCfg, n_lin_z: int, dtype, z_dims):
         return params[name]["bias"].astype(dtype)[None, :]
 
     out = [w("lin_in"), b("lin_in")]
-    if n_lin_z > 0 and z_dims is not None:
-        wz_cat = jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)
-        r = 0
-        for d in z_dims:
-            out.append(wz_cat[r:r + d])
-            r += d
+    if n_lin_z > 0:
+        # tz mode (z_dims None): kernels get only the bias — the lin_z
+        # KERNELS live in the XLA-side knot projection, but the bias (and
+        # its gradient) stays in-kernel to avoid a [N, n*dh] broadcast add
+        if z_dims is not None:
+            wz_cat = jnp.concatenate([w(f"lin_z_{i}") for i in range(n_lin_z)], axis=1)
+            r = 0
+            for d in z_dims:
+                out.append(wz_cat[r:r + d])
+                r += d
         out.append(jnp.concatenate([b(f"lin_z_{i}") for i in range(n_lin_z)], axis=1))
     for i in range(cfg.n_blocks):
         out += [w(f"blocks_{i}_fc_0"), b(f"blocks_{i}_fc_0"),
@@ -424,8 +428,9 @@ fused_resnet_fc_train.defvjp(
 # ops/epipolar.KnotFeatures.project_then_interp) and the kernel skips the
 # lin_z contraction in forward, recompute AND backward — at the reference
 # trunk (512 latent, 3x128 injection) that contraction is ~half the trunk
-# FLOPs, paid 4x per fwd+bwd pair. `params` here must NOT contain lin_z_*
-# entries (their gradients flow through tz's XLA producer chain instead).
+# FLOPs, paid 4x per fwd+bwd pair. `params` here must contain the lin_z_*
+# entries with ONLY their "bias" leaf (added + differentiated in-kernel);
+# the lin_z kernel gradients flow through tz's XLA producer chain instead.
 # ---------------------------------------------------------------------------
 
 
@@ -434,9 +439,10 @@ def fused_resnet_fc_train_tz(params, cfg: MlpCfg, tz, x, d_out: int,
                              interpret: bool = False):
     """ResnetFC trunk with precomputed latent injections.
 
-    tz [..., n_lin_z*d_hidden] — lin_z(z) + bias, already summed per block
-    slice. x [..., d_in] -> [..., d_out] f32. Differentiable wrt params
-    (minus lin_z) and tz; x gets a zero cotangent."""
+    tz [..., n_lin_z*d_hidden] — lin_z(z) WITHOUT bias, summed per block
+    slice (the bias adds in-kernel). x [..., d_in] -> [..., d_out] f32.
+    Differentiable wrt params (lin_z: bias only) and tz; x gets a zero
+    cotangent."""
     out, _ = _k7tz_fwd(params, cfg, tz, x, d_out, interpret)
     return out
 
@@ -530,6 +536,10 @@ def _k7tz_bwd(cfg, d_out, interpret, res, g):
     dparams = {}
     dwin, dbin = next(it), next(it)
     dparams["lin_in"] = {"kernel": dwin, "bias": unb(dbin)}
+    if n_lin_z > 0:
+        dbz = next(it)
+        for i in range(n_lin_z):
+            dparams[f"lin_z_{i}"] = {"bias": unb(dbz)[i * dh:(i + 1) * dh]}
     for i in range(cfg.n_blocks):
         dw0, db0, dw1, db1 = next(it), next(it), next(it), next(it)
         dparams[f"blocks_{i}_fc_0"] = {"kernel": dw0, "bias": unb(db0)}

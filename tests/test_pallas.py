@@ -147,24 +147,23 @@ def test_fused_resnet_fc_train_parity():
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     wz_cat = jnp.concatenate(
         [params[f"lin_z_{i}"]["kernel"] for i in range(n_lin_z)], axis=1)
-    bz_cat = jnp.concatenate(
-        [params[f"lin_z_{i}"]["bias"] for i in range(n_lin_z)])
-    params_no_z = {k: v for k, v in params.items() if not k.startswith("lin_z_")}
-    tz = (z.astype(jnp.bfloat16) @ wz_cat.astype(jnp.bfloat16)
-          + bz_cat.astype(jnp.bfloat16))
+    params_tz = {k: ({"bias": v["bias"]} if k.startswith("lin_z_") else v)
+                 for k, v in params.items()}
+    tz = z.astype(jnp.bfloat16) @ wz_cat.astype(jnp.bfloat16)
 
     def k7_tz_fn(p, tz):
         out = fused_resnet_fc_train_tz(p, cfg, tz, x, dout, True)
         return jnp.sum(out * g)
 
-    tz_out = fused_resnet_fc_train_tz(params_no_z, cfg, tz, x, dout, True)
+    tz_out = fused_resnet_fc_train_tz(params_tz, cfg, tz, x, dout, True)
     np.testing.assert_allclose(np.asarray(tz_out), np.asarray(k7_out),
                                rtol=1e-2, atol=1e-2)
-    (dp_d, dtz) = jax.grad(k7_tz_fn, argnums=(0, 1))(params_no_z, tz)
+    (dp_d, dtz) = jax.grad(k7_tz_fn, argnums=(0, 1))(params_tz, tz)
     assert dtz.dtype == tz.dtype and dtz.shape == tz.shape
     # chain dtz back to dz by hand: dz = dtz @ wz_cat^T
     dz_d = dtz.astype(jnp.float32) @ wz_cat.astype(jnp.float32).T
     assert frob_rel(dz_d, dz_b) < 0.02, frob_rel(dz_d, dz_b)
     fd = tu.flatten_dict(dp_d, sep="/")
+    assert any(k.startswith("lin_z_") and k.endswith("bias") for k in fd)
     for k in fd:
         assert frob_rel(fd[k], fb[k]) < 0.02, (k, frob_rel(fd[k], fb[k]))
