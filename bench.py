@@ -1,20 +1,31 @@
-"""Benchmark: volume-rendering training throughput (rays/sec/chip).
+"""Benchmark: the framework's full capability surface on one chip.
 
-Runs the full perception train step (encoder + proposal sampling + field
-decode + compositing + losses + backward + Adam) at the reference workload
-shape — batch 7 scenes x 256 rays x (256 proposal + 256 nerf) samples
-(reference configurations/config.yaml:18-20, model_allegro.yaml:6-8) — and
-reports rays/sec on the current chip.
+Headline (first JSON line, driver contract): perception train throughput in
+rays/sec at the reference workload shape — batch 7 scenes x 256 rays x (256
+proposal + 256 nerf) samples (reference configurations/config.yaml:18-20,
+model_allegro.yaml:6-8).
 
 Baseline derivation (the reference publishes no tables, BASELINE.md): README
 estimates ~1,300 h for the default 50M steps on 1x A40 (README.md:142-143)
 => 50e6 / (1300*3600) ≈ 10.7 steps/s x 7 scenes x 256 rays ≈ 19,150 rays/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Further lines (VERDICT r2 item 3 — the whole surface, measured at HEAD):
+  action_flow_rays_per_sec    stage-2 flow-supervised step, same ray count
+  action_tracks_rays_per_sec  stage-2 tracks mode at ~10k rays/step (the
+                              reference's documented OOM hazard,
+                              README.md:161-165)
+  render_rays_per_sec         whole-image 480x640 render (models/model.py:527-628)
+  field_queries_per_sec       cached-Jacobian contractions (inverse-dynamics
+                              fast path, models/model.py:497-525)
+  inverse_dynamics_ms         100-iteration jitted Adam solve
+
+One JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -29,40 +40,35 @@ SAMPLES = (256, 256)
 ACTION_DIM = 8
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline=None):
+    line = {"metric": metric, "value": round(float(value), 1), "unit": unit}
+    if vs_baseline is not None:
+        line["vs_baseline"] = round(float(vs_baseline), 3)
+    print(json.dumps(line), flush=True)
+
+
+def _sync(x):
+    # device_get forces a REAL sync (on some remote-TPU transports
+    # block_until_ready resolves before compute completes, so any timing
+    # must end by pulling actual data)
+    return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _flagship_model(samples=SAMPLES):
     from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
     from neural_jacobian_field_tpu.models.model import Model, RenderingCfg, make_model_cfg
-    from neural_jacobian_field_tpu.training import RawBatch, TrainCfg, create_train_state, make_train_step
 
-    h, w = IMAGE_HW
-    key = jax.random.PRNGKey(0)
-    c2w = jnp.broadcast_to(jnp.eye(4), (BATCH, 4, 4))
-    intr = jnp.broadcast_to(
-        jnp.array([[1.2, 0.0, 0.5], [0.0, 1.6, 0.5], [0.0, 0.0, 1.0]]), (BATCH, 3, 3)
-    )
-    batch = RawBatch(
-        ctxt_rgb=jax.random.uniform(key, (BATCH, h, w, 3)),
-        ctxt_extrinsics=c2w, ctxt_intrinsics=intr,
-        robot_action=jnp.zeros((BATCH, ACTION_DIM)),
-        trgt_rgb=jax.random.uniform(jax.random.PRNGKey(1), (BATCH, h, w, 3)),
-        trgt_depth=jax.random.uniform(jax.random.PRNGKey(2), (BATCH, h, w, 1),
-                                      minval=1.0, maxval=4.0),
-        trgt_extrinsics=c2w, trgt_intrinsics=intr,
-        near=jnp.full((BATCH,), 0.5), far=jnp.full((BATCH,), 10.0),
-    )
-
-    model = Model(
+    return Model(
         cfg=make_model_cfg(
             "jacobian_mlp", action_dim=ACTION_DIM,
-            rendering=RenderingCfg(num_proposal_samples=(SAMPLES[0],),
-                                   num_nerf_samples=SAMPLES[1],
+            rendering=RenderingCfg(num_proposal_samples=(samples[0],),
+                                   num_nerf_samples=samples[1],
                                    # K5 fused PDF-resample kernel: validated
                                    # loss parity, -9.2% step time on-chip
                                    use_pallas_pdf=True,
                                    # K1b epipolar ray-knot feature path:
                                    # 195 -> 111 ms/step on-chip; quality A/B
-                                   # on the synthetic scene shows no
-                                   # regression (benchmarks/RESULTS.md)
+                                   # shows no regression (benchmarks/RESULTS.md)
                                    pixel_feature_mode="epipolar",
                                    # K7 fused trunk kernel (+8% step)
                                    use_fused_trunk=True),
@@ -71,38 +77,215 @@ def main():
         ),
         compute_dtype=jnp.bfloat16,
     )
-    cfg = TrainCfg(mode="perception", rays_per_batch=RAYS, warm_up_steps=10000)
+
+
+def _raw_batch(key, batch=BATCH, hw=IMAGE_HW, mode="perception", tracks=0):
+    from neural_jacobian_field_tpu.training import RawBatch
+
+    h, w = hw
+    c2w = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+    intr = jnp.broadcast_to(
+        jnp.array([[1.2, 0.0, 0.5], [0.0, 1.6, 0.5], [0.0, 0.0, 1.0]]), (batch, 3, 3)
+    )
+    raw = RawBatch(
+        ctxt_rgb=jax.random.uniform(key, (batch, h, w, 3)),
+        ctxt_extrinsics=c2w, ctxt_intrinsics=intr,
+        robot_action=jax.random.normal(jax.random.PRNGKey(7), (batch, ACTION_DIM)) * 0.1,
+        trgt_rgb=jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3)),
+        trgt_depth=jax.random.uniform(jax.random.PRNGKey(2), (batch, h, w, 1),
+                                      minval=1.0, maxval=4.0),
+        trgt_extrinsics=c2w, trgt_intrinsics=intr,
+        near=jnp.full((batch,), 0.5), far=jnp.full((batch,), 10.0),
+    )
+    if mode == "action":
+        if tracks:
+            raw = raw.replace(
+                pixel_selector=jax.random.randint(
+                    jax.random.PRNGKey(3), (batch, tracks), 0, h * w),
+                pixel_motion=jax.random.normal(
+                    jax.random.PRNGKey(4), (batch, tracks, 2)),
+                pixel_visible_mask=jnp.ones((batch, tracks)),
+            )
+        else:
+            raw = raw.replace(flow=jax.random.normal(
+                jax.random.PRNGKey(3), (batch, h, w, 2)))
+    return raw
+
+
+def _train_metric(metric, mode, tracks, rays, baseline=None):
+    from neural_jacobian_field_tpu.training import (
+        TrainCfg, create_train_state, make_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    model = _flagship_model()
+    batch = _raw_batch(key, mode=mode, tracks=tracks)
+    cfg = TrainCfg(mode=mode, rays_per_batch=rays, warm_up_steps=10000)
     state = create_train_state(key, model, batch, cfg)
     step = make_train_step(model, cfg, donate=True)
-
-    # warmup / compile; device_get forces a REAL sync (on some remote-TPU
-    # transports block_until_ready resolves before compute completes, so any
-    # timing must end by pulling actual data)
     state, metrics = step(state, batch, jax.random.PRNGKey(10))
-    float(metrics["loss/total"])
-
-    def run(n, seed):
-        nonlocal state
-        t0 = time.perf_counter()
-        m = None
-        for i in range(n):
-            state, m = step(state, batch, jax.random.PRNGKey(seed + i))
-        float(m["loss/total"])  # real sync
-        return time.perf_counter() - t0
+    _sync(metrics["loss/total"])
 
     # chained steps (state feeds state) with one data pull at the end; the
     # per-dispatch overhead is amortized across k steps. (steps_per_call=4
     # via lax.scan measures ~3% faster with a device-resident stacked batch —
     # benchmarks/RESULTS.md; per-step kept here for simplicity.)
     k = 12
-    per_step = run(k, 100) / k
-    rays_per_sec = BATCH * RAYS / per_step
-    print(json.dumps({
-        "metric": "train_rays_per_sec",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s (fwd+bwd, b7x256rays x 512 samples, bf16)",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-    }))
+    t0 = time.perf_counter()
+    m = None
+    for i in range(k):
+        state, m = step(state, batch, jax.random.PRNGKey(100 + i))
+    _sync(m["loss/total"])
+    per_step = (time.perf_counter() - t0) / k
+    rays_total = BATCH * (tracks if tracks else rays)
+    rps = rays_total / per_step
+    _emit(metric, rps,
+          f"rays/s (fwd+bwd, b{BATCH}x{tracks if tracks else rays}rays x "
+          f"{sum(SAMPLES)} samples, bf16)",
+          rps / baseline if baseline else None)
+
+
+def bench_train_perception():
+    _train_metric("train_rays_per_sec", "perception", 0, RAYS,
+                  baseline=BASELINE_RAYS_PER_SEC)
+
+
+def bench_train_action_flow():
+    _train_metric("action_flow_rays_per_sec", "action", 0, RAYS)
+
+
+def bench_train_action_tracks():
+    # ~10k rays/step: the README's tracks-mode OOM hazard shape
+    _train_metric("action_tracks_rays_per_sec", "action", 1472, 1472)
+
+
+def bench_render():
+    from neural_jacobian_field_tpu.inference import render_camera_host_loop
+    from neural_jacobian_field_tpu.training import (
+        TrainCfg, create_train_state, prepare_training_batch,
+    )
+
+    key = jax.random.PRNGKey(0)
+    model = _flagship_model(samples=(96, 96))
+    raw = _raw_batch(key, batch=1)
+    state = create_train_state(
+        key, model, raw, TrainCfg(mode="perception", rays_per_batch=64))
+    variables = {"params": state.params}
+    mi, _ = prepare_training_batch(jax.random.PRNGKey(1), raw, 64)
+    h, w = IMAGE_HW
+
+    def run(seed):
+        # host-loop patches (2048 rays, model.py:533); the one-jit
+        # render_camera is profiled separately in benchmarks/RESULTS.md
+        return render_camera_host_loop(
+            model, variables, mi.camera_input, mi.robot_input, z_near=0.5,
+            z_far=10.0, height=h, width=w, patch_size=2048,
+            key=jax.random.PRNGKey(seed))
+
+    _sync(run(0).rgb)
+    k = 3
+    t0 = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = run(1 + i)
+    _sync(out.rgb)
+    per = (time.perf_counter() - t0) / k
+    _emit("render_rays_per_sec", h * w / per,
+          f"rays/s (whole-image {h}x{w}, 192 samples, 2048-ray patches)")
+
+
+def _encoding_setup(rays, samples):
+    from neural_jacobian_field_tpu.models.model import Model, StepCtx
+    from neural_jacobian_field_tpu.training import (
+        TrainCfg, create_train_state, prepare_training_batch,
+    )
+
+    key = jax.random.PRNGKey(0)
+    model = _flagship_model(samples=(samples, samples))
+    raw = _raw_batch(key, batch=1)
+    state = create_train_state(
+        key, model, raw, TrainCfg(mode="perception", rays_per_batch=rays))
+    variables = {"params": state.params}
+    mi, _ = prepare_training_batch(jax.random.PRNGKey(1), raw, rays)
+    ctx = StepCtx(key=jax.random.PRNGKey(2), anneal=jnp.asarray(1.0),
+                  updated=jnp.asarray(True))
+    enc = model.apply(variables, mi.camera_input, mi.rendering_input,
+                      mi.robot_input, ctx, method=Model.encode_image)
+    return model, variables, mi, enc
+
+
+def bench_field_queries():
+    from neural_jacobian_field_tpu.models.model import Model, RobotInput
+
+    rays, samples = 4096, 64
+    model, variables, mi, enc = _encoding_setup(rays, samples)
+
+    @jax.jit
+    def infer(action):
+        return model.apply(variables, enc, mi.camera_input,
+                           RobotInput(robot_action=action),
+                           method=Model.infer_optical_flow)
+
+    a = jnp.full((1, ACTION_DIM), 0.01)
+    _sync(infer(a))
+    k = 50
+    t0 = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = infer(a)
+        # chain so calls serialize on device
+        a = jnp.full((1, ACTION_DIM), 0.01) + 1e-6 * jnp.mean(out)
+    _sync(out)
+    per = (time.perf_counter() - t0) / k
+    _emit("field_queries_per_sec", rays * samples / per,
+          f"cached J-contractions/s ({rays} rays x {samples} samples)")
+
+
+def bench_inverse_dynamics():
+    from neural_jacobian_field_tpu.inference import optimize_actions
+
+    rays, samples = 512, 64
+    model, variables, mi, enc = _encoding_setup(rays, samples)
+    target = jax.random.normal(jax.random.PRNGKey(3), (1, rays, 2))
+
+    def run(seed):
+        return optimize_actions(model, variables, enc, mi.camera_input,
+                                target, key=jax.random.PRNGKey(seed),
+                                num_iters=100)
+
+    _sync(run(0).action)
+    k = 5
+    t0 = time.perf_counter()
+    out = None
+    for i in range(k):
+        out = run(1 + i)
+    _sync(out.action)
+    per = (time.perf_counter() - t0) / k
+    _emit("inverse_dynamics_ms", per * 1000,
+          f"ms per 100-iter Adam solve ({rays} rays, cached field)")
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path.home() / ".cache" / "njf_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    benches = [
+        bench_train_perception,  # headline: MUST stay first
+        bench_train_action_flow,
+        bench_train_action_tracks,
+        bench_render,
+        bench_field_queries,
+        bench_inverse_dynamics,
+    ]
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for fn in benches:
+        if only and only not in fn.__name__:
+            continue
+        try:
+            fn()
+        except Exception as e:  # keep stdout pure JSON; never lose the headline
+            print(f"{fn.__name__} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,71 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def evaluate_scene(model, variables, ds, num_views=6, patch_size=4096,
+                   action_dim=3, seed=0):
+    """PSNR / flow-EPE / Jacobian-rel-err of a trained model over `num_views`
+    random full renders of the synthetic scene. Returns a metrics dict.
+    Shared by the CLI below and benchmarks/epipolar_study.py."""
+    from neural_jacobian_field_tpu.data import conventions as cv
+    from neural_jacobian_field_tpu.inference import render_camera
+    from neural_jacobian_field_tpu.models.model import CameraInput, RobotInput
+    from neural_jacobian_field_tpu.utils import flow_epe, psnr
+
+    item0 = ds[0]
+    h, w = item0["trgt_rgb"].shape[:2]
+
+    def build_camera(item):
+        return CameraInput(
+            input_image=jnp.asarray(item["ctxt_rgb"])[None],
+            ctxt_extrinsics=jnp.asarray(item["ctxt_extrinsics"])[None],
+            ctxt_intrinsics=jnp.asarray(item["ctxt_intrinsics"])[None],
+            trgt_extrinsics=jnp.asarray(item["trgt_extrinsics"])[None],
+            trgt_intrinsics=jnp.asarray(
+                cv.denormalize_intrinsics(item["trgt_intrinsics"], h, w))[None],
+        )
+
+    psnrs, epes, j_errs = [], [], []
+    rng = np.random.default_rng(seed)
+    for _ in range(num_views):
+        idx = int(rng.integers(0, ds.num_files))
+        item = ds[idx]
+        cam = build_camera(item)
+        robot = RobotInput(robot_action=jnp.asarray(item["robot_action"])[None])
+        out = render_camera(model, variables, cam, robot, z_near=ds.near,
+                            z_far=ds.far, height=h, width=w,
+                            patch_size=patch_size)
+        psnrs.append(float(psnr(out.rgb[0], jnp.asarray(item["trgt_rgb"]))))
+        if "flow" in item:
+            epes.append(float(flow_epe(out.flow_raw[0], jnp.asarray(item["flow"]))))
+
+        # Jacobian parity: the synthetic robot's world-space Jacobian is known
+        # in closed form on the sphere (data/synthetic.py; see comments below)
+        from neural_jacobian_field_tpu.data.synthetic import QPOS_GAIN
+
+        acc = np.asarray(out.weights[0]).sum(-1)  # [H, W] accumulation
+        j_map = np.asarray(out.action_features[0]).reshape(h, w, action_dim, 3)
+        span = (ds.qpos_maximum - ds.qpos_minimum)[:action_dim]
+        scale = ds.outputs.dataparser_scale
+        # world frame is rotated per item (pose auto-orient + relative
+        # extrinsics) -> compare rotation-invariant per-joint column NORMS:
+        # |J_d| = QPOS_GAIN * span_d * dataparser_scale on the robot.
+        j_true_norm = QPOS_GAIN * span[:3] * scale
+        if "flow" in item:
+            mask = (np.linalg.norm(item["flow"], axis=-1) > 1e-6) & (acc > 0.5)
+        else:
+            mask = acc > 0.5
+        if mask.sum() > 0:
+            pred_norm = np.linalg.norm(j_map[mask][:, :3], axis=-1)  # [N, 3]
+            j_errs.append(float(np.abs(pred_norm - j_true_norm).mean()
+                                / (np.abs(j_true_norm).mean() + 1e-9)))
+    metrics = {"psnr": round(float(np.mean(psnrs)), 2)}
+    if epes:
+        metrics["flow_epe"] = round(float(np.mean(epes)), 3)
+    if j_errs:
+        metrics["jacobian_rel_err"] = round(float(np.mean(j_errs)), 3)
+    return metrics
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", required=True)
@@ -38,19 +103,22 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from neural_jacobian_field_tpu.data import DatasetCfgCommon, get_dataset
-    from neural_jacobian_field_tpu.data.dataset import load_optical_flow
-    from neural_jacobian_field_tpu.data import conventions as cv
-    from neural_jacobian_field_tpu.inference import render_camera
     from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
     from neural_jacobian_field_tpu.models.model import (
-        CameraInput, Model, RenderingCfg, RobotInput, make_model_cfg,
+        Model, RenderingCfg, make_model_cfg,
     )
     from neural_jacobian_field_tpu.training.checkpoint import load_params_only
-    from neural_jacobian_field_tpu.utils import flow_epe, psnr
 
     ds = get_dataset(DatasetCfgCommon(
         name="allegro", mode="action", root=args.scene,
         num_total_joints=args.action_dim, max_num_frames_per_traj=10**9), "train")
+    # the fwd/bwd action-type selection needs the REAL per-traj frame count
+    # (dataset.py random_select_action_type steps past the last frame
+    # otherwise); derive it from the scene's filenames
+    from neural_jacobian_field_tpu.data import conventions as cv
+
+    ds.cfg.max_num_frames_per_traj = 1 + max(
+        cv.get_traj_and_frame_idx(f)[1] for f in ds.outputs.image_filenames)
 
     model = Model(cfg=make_model_cfg(
         "jacobian_mlp", action_dim=args.action_dim,
@@ -59,23 +127,9 @@ def main():
         encoder=EncoderResnetCfg(norm_type="group"),
     ), compute_dtype=jnp.bfloat16)
 
-    # template + restore
-    item0 = ds[0]
-    h, w = item0["trgt_rgb"].shape[:2]
-    variables = None
-
-    def build_camera(item):
-        return CameraInput(
-            input_image=jnp.asarray(item["ctxt_rgb"])[None],
-            ctxt_extrinsics=jnp.asarray(item["ctxt_extrinsics"])[None],
-            ctxt_intrinsics=jnp.asarray(item["ctxt_intrinsics"])[None],
-            trgt_extrinsics=jnp.asarray(item["trgt_extrinsics"])[None],
-            trgt_intrinsics=jnp.asarray(
-                cv.denormalize_intrinsics(item["trgt_intrinsics"], h, w))[None],
-        )
-
-    # init template params via one tiny init
+    # init template params via one tiny init, then restore the checkpoint
     from neural_jacobian_field_tpu.training import RawBatch, TrainCfg, create_train_state
+    item0 = ds[0]
     raw = RawBatch(
         ctxt_rgb=jnp.asarray(item0["ctxt_rgb"])[None],
         ctxt_extrinsics=jnp.asarray(item0["ctxt_extrinsics"])[None],
@@ -91,55 +145,13 @@ def main():
     params = load_params_only(args.ckpt, state.params)
     variables = {"params": params}
 
-    psnrs, epes, j_errs = [], [], []
-    rng = np.random.default_rng(0)
-    for k in range(args.num_views):
-        idx = int(rng.integers(0, ds.num_files))
-        item = ds[idx]
-        cam = build_camera(item)
-        robot = RobotInput(robot_action=jnp.asarray(item["robot_action"])[None])
-        out = render_camera(model, variables, cam, robot, z_near=ds.near,
-                            z_far=ds.far, height=h, width=w, patch_size=4096)
-        psnrs.append(float(psnr(out.rgb[0], jnp.asarray(item["trgt_rgb"]))))
-        if "flow" in item:
-            epes.append(float(flow_epe(out.flow_raw[0], jnp.asarray(item["flow"]))))
-
-        # Jacobian parity: the synthetic robot's world-space Jacobian is known
-        # in closed form on the sphere: dcenter/daction = QPOS_GAIN *
-        # (qmax - qmin) * dataparser_scale per joint (data/synthetic.py), 0 in
-        # the background. Compare the composited J on high-opacity pixels.
-        from neural_jacobian_field_tpu.data.synthetic import QPOS_GAIN
-
-        acc = np.asarray(out.weights[0]).sum(-1)  # [H, W] accumulation
-        j_map = np.asarray(out.action_features[0]).reshape(h, w, args.action_dim, 3)
-        span = (ds.qpos_maximum - ds.qpos_minimum)[: args.action_dim]
-        scale = ds.outputs.dataparser_scale
-        # The scene's world frame is rotated per item (pose auto-orient +
-        # relative extrinsics), so compare the rotation-invariant per-joint
-        # column NORMS: |J_d| = QPOS_GAIN * span_d * dataparser_scale on the
-        # robot, 0 in the background (raw dq = normalized action * span).
-        j_true_norm = QPOS_GAIN * span[:3] * scale
-        # robot pixels = where the ground-truth flow lives (opacity alone
-        # also selects learned background media with J ~ 0)
-        if "flow" in item:
-            mask = (np.linalg.norm(item["flow"], axis=-1) > 1e-6) & (acc > 0.5)
-        else:
-            mask = acc > 0.5
-        if mask.sum() > 0:
-            pred_norm = np.linalg.norm(j_map[mask][:, :3], axis=-1)  # [N, 3]
-            j_errs.append(float(np.abs(pred_norm - j_true_norm).mean()
-                                / (np.abs(j_true_norm).mean() + 1e-9)))
-
-    print(json.dumps({"metric": "psnr", "value": round(float(np.mean(psnrs)), 2),
-                      "unit": f"dB over {len(psnrs)} full renders"}))
-    if epes:
-        print(json.dumps({"metric": "flow_epe",
-                          "value": round(float(np.mean(epes)), 3),
-                          "unit": "px end-point error vs analytic flow"}))
-    if j_errs:
-        print(json.dumps({"metric": "jacobian_rel_err",
-                          "value": round(float(np.mean(j_errs)), 3),
-                          "unit": "mean |J_pred - J_true| / mean|J_true| on robot pixels"}))
+    metrics = evaluate_scene(model, variables, ds, num_views=args.num_views,
+                             action_dim=args.action_dim)
+    units = {"psnr": f"dB over {args.num_views} full renders",
+             "flow_epe": "px end-point error vs analytic flow",
+             "jacobian_rel_err": "mean |J_pred - J_true| / mean|J_true| on robot pixels"}
+    for k, v in metrics.items():
+        print(json.dumps({"metric": k, "value": v, "unit": units[k]}))
 
 
 if __name__ == "__main__":
