@@ -81,17 +81,79 @@ class ZeroMaskPatchedImage:
         return out
 
 
+class CocoOccluderSource:
+    """COCO-instance occluder crops, no pycocotools needed.
+
+    The reference builds occluders from COCO2017 bbox crops with area
+    thresholds (image_augmentation.py:96-100, 146-190 — it only reads
+    `file_name`, `bbox`, `area`, `iscrowd` from the annotation file, never
+    the segmentation masks), so a plain json parse reproduces it exactly.
+
+    root must hold annotations/instances_<split>.json and <split>/<images>.
+    """
+
+    def __init__(self, root, split: str = "train2017",
+                 min_area_threshold: float = 10000,
+                 max_area_threshold: float = 50000):
+        import json
+
+        self.root = Path(root)
+        self.split = split
+        self.min_area = min_area_threshold
+        self.max_area = max_area_threshold
+        with open(self.root / "annotations" / f"instances_{split}.json",
+                  encoding="utf-8") as f:
+            data = json.load(f)
+        self.filenames = {im["id"]: im["file_name"] for im in data["images"]}
+        self.anns_by_image = {}
+        for a in data.get("annotations", []):
+            if a.get("iscrowd"):
+                continue
+            self.anns_by_image.setdefault(a["image_id"], []).append(
+                (tuple(a["bbox"]), float(a["area"])))
+        self.image_ids = list(self.filenames)
+
+    def sample(self) -> Optional[np.ndarray]:
+        """One bbox-cropped instance as float [h, w, 3] in [0, 1], or None
+        (empty image / area below threshold — the reference returns the
+        input unchanged in those cases)."""
+        from PIL import Image
+
+        img_id = random.choice(self.image_ids)
+        anns = self.anns_by_image.get(img_id, [])
+        if not anns:
+            return None
+        bbox, area = anns[np.random.randint(0, len(anns))]
+        if area < self.min_area:
+            return None
+        x_min, y_min, bw, bh = bbox
+        img = Image.open(self.root / self.split / self.filenames[img_id]).convert("RGB")
+        crop = img.crop((int(x_min), int(y_min), int(x_min + bw), int(y_min + bh)))
+        if area > self.max_area:
+            # resize toward a random target area in [min, max)
+            rand_threshold = np.random.randint(int(self.min_area), int(self.max_area))
+            crop = crop.resize((max(1, int(bw * rand_threshold / area)),
+                                max(1, int(bh * rand_threshold / area))),
+                               Image.BILINEAR)
+        return np.asarray(crop).astype(np.float32) / 255.0
+
+
 class RandomBackground:
     """Background substitution + occluder paste (image_augmentation.py:85-221).
 
-    `occluder_dir`: directory of RGB cutout images used as paste occlusions
-    (stands in for the COCO-instance crops; None disables the paste branch).
+    Occluder sources, in priority order: `coco_root` (COCO2017-format dir —
+    full reference parity via CocoOccluderSource) or `occluder_dir` (any
+    directory of RGB cutout images — the zero-egress stand-in). None
+    disables the paste branch.
     """
 
     def __init__(self, p: float = 0.5, occluder_dir: Optional[Path] = None,
-                 overlay_threshold: float = 0.5):
+                 overlay_threshold: float = 0.5, coco_root: Optional[Path] = None):
         self.p = p
         self.overlay_threshold = overlay_threshold
+        self.coco: Optional[CocoOccluderSource] = None
+        if coco_root is not None and Path(coco_root).exists():
+            self.coco = CocoOccluderSource(coco_root)
         self.occluders: List[Path] = []
         if occluder_dir is not None:
             self.occluders = sorted(
@@ -106,14 +168,19 @@ class RandomBackground:
         return img * m + background * (1.0 - m)
 
     def randomize_occluder(self, img: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        if not self.occluders:
-            return img
-        from PIL import Image
-
         h, w = img.shape[:2]
-        crop = np.asarray(
-            Image.open(random.choice(self.occluders)).convert("RGB")
-        ).astype(np.float32) / 255.0
+        if self.coco is not None:
+            crop = self.coco.sample()
+            if crop is None:
+                return img
+        elif self.occluders:
+            from PIL import Image
+
+            crop = np.asarray(
+                Image.open(random.choice(self.occluders)).convert("RGB")
+            ).astype(np.float32) / 255.0
+        else:
+            return img
         # shrink until it fits
         while crop.shape[0] >= h or crop.shape[1] >= w:
             crop = crop[::2, ::2]

@@ -37,6 +37,11 @@ class DatasetCfgCommon:
     num_positive_samples: Optional[int] = None
     num_negative_samples: Optional[int] = None
     augment_ctxt_image: bool = False
+    # occluder sources for the augmentation's paste branch: a COCO2017-format
+    # root (reference parity, image_augmentation.py:96-100) or any directory
+    # of cutout images (zero-egress stand-in); None disables pasting
+    coco_root: Optional[Path] = None
+    occluder_dir: Optional[Path] = None
     testing_mask_ratio: Optional[float] = None
 
 
@@ -138,7 +143,10 @@ class DatasetCommon:
         # augmentation hooks (dataset.py:117-124)
         from .augmentation import RandomBackground, ZeroMaskPatchedImage
 
-        self.random_background = RandomBackground() if cfg.augment_ctxt_image else None
+        self.random_background = (
+            RandomBackground(coco_root=cfg.coco_root, occluder_dir=cfg.occluder_dir)
+            if cfg.augment_ctxt_image else None
+        )
         self.zero_background = None
         if stage == "test" and cfg.testing_mask_ratio is not None:
             self.zero_background = ZeroMaskPatchedImage(

@@ -192,6 +192,62 @@ def test_augmentation_ops():
     assert zeroed == 8  # 50% of 16 tiles
 
 
+def test_coco_occluder_source(tmp_path):
+    """COCO-format occluder extraction without pycocotools: bbox crop, area
+    thresholds, resize-above-max, and the paste + overlay guard
+    (image_augmentation.py:146-210 parity)."""
+    import json
+
+    from PIL import Image
+
+    from neural_jacobian_field_tpu.data.augmentation import (
+        CocoOccluderSource, RandomBackground,
+    )
+
+    root = tmp_path / "coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "train2017").mkdir()
+    img = (np.arange(200 * 200 * 3) % 255).astype(np.uint8).reshape(200, 200, 3)
+    Image.fromarray(img).save(root / "train2017" / "000001.jpg")
+    anns = {
+        "images": [{"id": 1, "file_name": "000001.jpg"}],
+        "annotations": [
+            # big instance: resized toward a random area in [min, max)
+            {"id": 10, "image_id": 1, "bbox": [20, 30, 150, 160],
+             "area": 150 * 160, "iscrowd": 0, "category_id": 1},
+        ],
+    }
+    with open(root / "annotations" / "instances_train2017.json", "w",
+              encoding="utf-8") as f:
+        json.dump(anns, f)
+
+    src = CocoOccluderSource(root, min_area_threshold=1000, max_area_threshold=2000)
+    np.random.seed(0)
+    crop = src.sample()
+    assert crop is not None and crop.ndim == 3 and crop.shape[2] == 3
+    # 150x160 area 24000 > max 2000 => resized down toward <= ~2000 px^2
+    assert crop.shape[0] * crop.shape[1] <= 2200
+
+    # below min threshold -> None (reference returns input unchanged)
+    src.min_area = 1e9
+    assert src.sample() is None
+
+    # wired through RandomBackground: paste happens, robot overlay guarded
+    aug = RandomBackground(p=1.0, coco_root=root)
+    aug.coco.min_area = 1000
+    aug.coco.max_area = 2000
+    base = np.zeros((64, 64, 3), np.float32)
+    mask = np.ones((64, 64), np.float32)
+    # with a near-1 threshold, hiding ANY robot pixels trips the guard
+    aug.overlay_threshold = 0.999
+    out = aug.randomize_occluder(base.copy(), mask)
+    np.testing.assert_array_equal(out, base)  # refused: would hide robot
+    aug.overlay_threshold = 0.5
+    mask2 = np.zeros((64, 64), np.float32)
+    out2 = aug.randomize_occluder(base.copy(), mask2)
+    assert np.abs(out2).sum() > 0  # pasted
+
+
 def test_flips_keep_pixmap_consistent():
     from neural_jacobian_field_tpu.data import random_horizontal_flip, random_vertical_flip
 
