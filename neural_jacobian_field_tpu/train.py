@@ -75,6 +75,14 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
                              save_interval_steps=cfg.checkpoint.every_n_train_steps)
     wandb_run = maybe_init_wandb(cfg.wandb)
     logger = MetricsLogger(log_dir=log_dir or Path("logs"), wandb_run=wandb_run)
+    # checkpoint-as-artifact with TTL rotation + offline sync triggers
+    # (reference utils/wandb_logger.py:26-189; only when a run is live)
+    wandb_ckpts = None
+    if wandb_run is not None:
+        from .utils.logging import WandbArtifactCheckpoints
+
+        wandb_ckpts = WandbArtifactCheckpoints(
+            wandb_run, offline=cfg.wandb.mode == "offline")
 
     # validation data: a length-1 random-sample wrapper over the VAL split
     # (data/data_module.py:34-43 + validation_wrapper.py:6-23) — never the
@@ -134,7 +142,11 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
         if vci and val_sampler is not None and (prev // vci) != (i // vci):
             _run_validation(model, state, next_val_batch(), cfg, logger,
                             wandb_run, step=i)
-        ckpt.maybe_save(state)
+        if ckpt.maybe_save(state) and wandb_ckpts is not None:
+            ckpt.wait()  # artifact needs the files on disk
+            wandb_ckpts.on_checkpoint(
+                ckpt.directory / str(int(jax.device_get(state.step))),
+                step=int(jax.device_get(state.step)))
     device_iter.close()
     ckpt.wait()
     logger.close()

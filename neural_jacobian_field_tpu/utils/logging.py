@@ -86,6 +86,76 @@ class MetricsLogger:
             self._fp.close()
 
 
+class WandbArtifactCheckpoints:
+    """Space-efficient checkpoint artifacts + offline sync triggering — the
+    orbax-flow rebuild of the reference's SpaceEfficientWandbLogger /
+    OfflineWandbLogger (utils/wandb_logger.py:26-131, 134-189).
+
+    After each orbax save, logs the checkpoint step directory as a wandb
+    Artifact `model-<run id>` with alias "latest" (plus "best" when the
+    caller marks it). The PREVIOUS version then gets a TTL of
+    `expiration_days` — superseded checkpoints expire, the newest is kept
+    indefinitely (the reference's space-saving scheme).
+
+    With offline=True, each checkpoint also drops a wandb-osh-compatible
+    trigger file (a file in `.wandb_osh_command_dir` whose content is the
+    local run directory) at most every `min_sync_interval` seconds, so a
+    network-connected companion process can `wandb sync` the run — the
+    reference's SLURM workaround.
+    """
+
+    def __init__(self, run, expiration_days: Optional[int] = 5,
+                 offline: bool = False, min_sync_interval: float = 60.0,
+                 communication_dir=Path(".wandb_osh_command_dir")):
+        self.run = run
+        self.expiration_days = expiration_days
+        self.offline = offline
+        self.min_sync_interval = min_sync_interval
+        self.communication_dir = Path(communication_dir)
+        self._last_artifact = None
+        self._last_sync = 0.0
+        self._name = f"model-{getattr(run, 'id', 'run')}"
+
+    def on_checkpoint(self, path, step: int, best: bool = False):
+        """Call after CheckpointManager.maybe_save returns True."""
+        import wandb
+
+        artifact = wandb.Artifact(
+            name=self._name, type="model",
+            metadata={"step": int(step), "original_path": str(path)},
+        )
+        artifact.add_dir(str(path))
+        aliases = ["latest", "best"] if best else ["latest"]
+        self.run.log_artifact(artifact, aliases=aliases)
+
+        if self._last_artifact is not None and self.expiration_days is not None:
+            from datetime import timedelta
+
+            prev = self._last_artifact
+            if hasattr(prev, "wait"):
+                prev.wait()
+            try:
+                prev.ttl = timedelta(days=self.expiration_days)
+                prev.save()
+            except Exception as e:  # offline runs can't set TTL server-side
+                print(f"artifact TTL not set ({e}); superseded version kept")
+        self._last_artifact = artifact
+
+        if self.offline:
+            self._trigger_sync()
+
+    def _trigger_sync(self):
+        now = time.time()
+        if now - self._last_sync < self.min_sync_interval:
+            return
+        self._last_sync = now
+        self.communication_dir.mkdir(parents=True, exist_ok=True)
+        run_dir = getattr(self.run, "dir", None) or "wandb/latest-run"
+        # wandb-osh protocol: one file per trigger, content = run dir
+        trigger = self.communication_dir / f"{time.time_ns()}.command"
+        trigger.write_text(str(Path(run_dir).parent), encoding="utf-8")
+
+
 def maybe_init_wandb(cfg) -> Optional[object]:
     """Start a wandb run when configured AND the library is importable
     (wandb_logger.py:26-131; offline/disabled-friendly)."""

@@ -79,3 +79,63 @@ def test_sanity_metrics_traced_in_jit():
     out = f(jnp.array([3.0, -1.0]))
     assert float(out["a_min"]) == -1.0 and float(out["a_max"]) == 3.0
     assert not any("ints" in k for k in out)
+
+
+def test_wandb_artifact_checkpoints(tmp_path, monkeypatch):
+    """Space-efficient artifact rotation + offline sync triggers
+    (reference utils/wandb_logger.py:26-189 semantics): each checkpoint logs
+    a 'latest' artifact, the SUPERSEDED version gets a TTL, and offline mode
+    drops a wandb-osh trigger file pointing at the run dir."""
+    import sys
+    import types
+
+    from neural_jacobian_field_tpu.utils.logging import WandbArtifactCheckpoints
+
+    logged = []
+
+    class FakeArtifact:
+        def __init__(self, name, type, metadata=None):
+            self.name, self.type, self.metadata = name, type, metadata
+            self.dirs, self.ttl, self.saved, self.waited = [], None, False, False
+
+        def add_dir(self, d):
+            self.dirs.append(d)
+
+        def wait(self):
+            self.waited = True
+
+        def save(self):
+            self.saved = True
+
+    fake_wandb = types.ModuleType("wandb")
+    fake_wandb.Artifact = FakeArtifact
+    monkeypatch.setitem(sys.modules, "wandb", fake_wandb)
+
+    class FakeRun:
+        id = "abc123"
+        dir = str(tmp_path / "wandb" / "run-1" / "files")
+
+        def log_artifact(self, artifact, aliases=None):
+            logged.append((artifact, tuple(aliases)))
+
+    ckpt_dir = tmp_path / "ckpt" / "5000"
+    ckpt_dir.mkdir(parents=True)
+    comm = tmp_path / "osh"
+    hook = WandbArtifactCheckpoints(FakeRun(), expiration_days=5, offline=True,
+                                    min_sync_interval=0.0,
+                                    communication_dir=comm)
+    hook.on_checkpoint(ckpt_dir, step=5000)
+    assert logged[-1][1] == ("latest",)
+    assert logged[-1][0].name == "model-abc123"
+    assert logged[-1][0].metadata["step"] == 5000
+    first = logged[-1][0]
+
+    hook.on_checkpoint(ckpt_dir, step=10000, best=True)
+    assert logged[-1][1] == ("latest", "best")
+    # the superseded artifact got the 5-day TTL and was re-saved
+    assert first.waited and first.saved
+    assert first.ttl is not None and first.ttl.days == 5
+    # offline: wandb-osh trigger files written, content -> run dir parent
+    triggers = list(comm.glob("*.command"))
+    assert triggers
+    assert "run-1" in triggers[0].read_text()
