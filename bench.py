@@ -112,9 +112,18 @@ def _raw_batch(key, batch=BATCH, hw=IMAGE_HW, mode="perception", tracks=0):
     return raw
 
 
+def _infer_variables(state):
+    # the flagship encoder uses BatchNorm (reference default); eval-mode
+    # apply reads the running stats collection
+    v = {"params": state.params}
+    if state.batch_stats is not None:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
 def _train_metric(metric, mode, tracks, rays, baseline=None):
     from neural_jacobian_field_tpu.training import (
-        TrainCfg, create_train_state, make_train_step,
+        TrainCfg, create_train_state, host_step_schedule, make_train_step,
     )
 
     key = jax.random.PRNGKey(0)
@@ -122,15 +131,43 @@ def _train_metric(metric, mode, tracks, rays, baseline=None):
     batch = _raw_batch(key, mode=mode, tracks=tracks)
     cfg = TrainCfg(mode=mode, rays_per_batch=rays, warm_up_steps=10000)
     state = create_train_state(key, model, batch, cfg)
-    step = make_train_step(model, cfg, donate=True)
-    state, metrics = step(state, batch, jax.random.PRNGKey(10))
-    _sync(metrics["loss/total"])
+
+    if mode == "perception":
+        # the train loop's statically-gated dispatch: post-warmup the
+        # reference only backprops proposal nets on `steps_since_update >
+        # proposal_update_every` steps (1 in 6 at update_every=5,
+        # ray_samplers.py:513-515) — measure that steady-state mix honestly
+        # via the same host_step_schedule the CLI uses.
+        fns = {
+            True: make_train_step(model, cfg, donate=True, static_updated=True),
+            False: make_train_step(model, cfg, donate=True, static_updated=False),
+        }
+        ssu = 1  # post-update phase: the steady-state cycle is 5 frozen + 1 update
+        sched = []
+        for i in range(60):
+            up, ssu = host_step_schedule(20000 + i, ssu, model.cfg.rendering)
+            sched.append(up)
+
+        def step(state, batch, k, i=[0]):
+            up = sched[i[0] % len(sched)]
+            i[0] += 1
+            return fns[up](state, batch, k)
+
+        # compile/warm both variants
+        state, metrics = fns[True](state, batch, jax.random.PRNGKey(10))
+        _sync(metrics["loss/total"])
+        state, metrics = fns[False](state, batch, jax.random.PRNGKey(10))
+        _sync(metrics["loss/total"])
+    else:
+        step = make_train_step(model, cfg, donate=True)
+        state, metrics = step(state, batch, jax.random.PRNGKey(10))
+        _sync(metrics["loss/total"])
 
     # chained steps (state feeds state) with one data pull at the end; the
     # per-dispatch overhead is amortized across k steps. (steps_per_call=4
     # via lax.scan measures ~3% faster with a device-resident stacked batch —
     # benchmarks/RESULTS.md; per-step kept here for simplicity.)
-    k = 12
+    k = 24 if mode == "perception" else 12
     t0 = time.perf_counter()
     m = None
     for i in range(k):
@@ -170,7 +207,7 @@ def bench_render():
     raw = _raw_batch(key, batch=1)
     state = create_train_state(
         key, model, raw, TrainCfg(mode="perception", rays_per_batch=64))
-    variables = {"params": state.params}
+    variables = _infer_variables(state)
     mi, _ = prepare_training_batch(jax.random.PRNGKey(1), raw, 64)
     h, w = IMAGE_HW
 
@@ -205,7 +242,7 @@ def _encoding_setup(rays, samples):
     raw = _raw_batch(key, batch=1)
     state = create_train_state(
         key, model, raw, TrainCfg(mode="perception", rays_per_batch=rays))
-    variables = {"params": state.params}
+    variables = _infer_variables(state)
     mi, _ = prepare_training_batch(jax.random.PRNGKey(1), raw, rays)
     ctx = StepCtx(key=jax.random.PRNGKey(2), anneal=jnp.asarray(1.0),
                   updated=jnp.asarray(True))
@@ -220,25 +257,34 @@ def bench_field_queries():
     rays, samples = 4096, 64
     model, variables, mi, enc = _encoding_setup(rays, samples)
 
-    @jax.jit
     def infer(action):
         return model.apply(variables, enc, mi.camera_input,
                            RobotInput(robot_action=action),
                            method=Model.infer_optical_flow)
 
+    # chain k queries in ONE jitted scan (each action depends on the previous
+    # flow, so nothing can be elided): this measures the DEVICE query rate,
+    # which is what the inverse-dynamics consumer sees — per-dispatch queries
+    # are tunnel-latency-bound on this transport (~90 ms/dispatch), not
+    # compute-bound.
+    k = 200
+
+    @jax.jit
+    def chain(a0):
+        def body(a, _):
+            out = infer(a)
+            return jnp.full((1, ACTION_DIM), 0.01) + 1e-6 * jnp.mean(out), out
+        return jax.lax.scan(body, a0, None, length=k)
+
     a = jnp.full((1, ACTION_DIM), 0.01)
-    _sync(infer(a))
-    k = 50
+    _sync(chain(a)[1])
     t0 = time.perf_counter()
-    out = None
-    for i in range(k):
-        out = infer(a)
-        # chain so calls serialize on device
-        a = jnp.full((1, ACTION_DIM), 0.01) + 1e-6 * jnp.mean(out)
-    _sync(out)
+    _, outs = chain(a)
+    _sync(outs)
     per = (time.perf_counter() - t0) / k
     _emit("field_queries_per_sec", rays * samples / per,
-          f"cached J-contractions/s ({rays} rays x {samples} samples)")
+          f"cached J-contractions/s ({rays} rays x {samples} samples, "
+          f"{k}-query on-device chain)")
 
 
 def bench_inverse_dynamics():

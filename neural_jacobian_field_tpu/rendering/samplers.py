@@ -228,8 +228,11 @@ def proposal_sample(
       density_fns: one callable per proposal level mapping world positions
         [B, R, S, 3] -> densities [B, R, S, 1].
       anneal: exponent on proposal weights before PDF resampling.
-      updated: traced bool; when False, proposal densities are evaluated under
-        stop_gradient (the reference's `steps_since_update` gating).
+      updated: when False, proposal densities are evaluated under
+        stop_gradient (the reference's `steps_since_update` gating,
+        ray_samplers.py:536-544). A traced bool keeps one compiled graph
+        (the grads are masked to zero); a STATIC Python bool lets XLA
+        delete the proposal backward entirely on non-update steps.
     Returns (final RaySamples, weights_list, ray_samples_list).
     """
     n = len(density_fns)
@@ -259,7 +262,18 @@ def proposal_sample(
             )
         if is_prop:
             density_live = density_fns[i_level](ray_samples.get_positions())
-            density = jnp.where(updated, density_live, jax.lax.stop_gradient(density_live))
+            if isinstance(updated, bool):
+                # STATIC gating (the host-dispatched two-variant train step,
+                # training/train.py): on a non-update step the stop_gradient
+                # is structural, so XLA dead-code-eliminates the whole
+                # proposal backward (K7 bwd + its tz/knot chains) instead of
+                # multiplying it by zero — the reference gets this for free
+                # from torch.no_grad (ray_samplers.py:536-544).
+                density = (density_live if updated
+                           else jax.lax.stop_gradient(density_live))
+            else:
+                density = jnp.where(updated, density_live,
+                                    jax.lax.stop_gradient(density_live))
             weights = ray_samples.get_weights(density)
             weights_list.append(weights)
             ray_samples_list.append(ray_samples)

@@ -27,8 +27,8 @@ from .config.common import PipelineCfg
 from .data import DataLoader, get_dataset
 from .models.model import Model
 from .parallel import DevicePrefetcher, make_mesh, replicate
-from .training import (TrainCfg, create_train_state, make_multi_train_step,
-                       make_train_step, stack_batches)
+from .training import (TrainCfg, create_train_state, host_step_schedule,
+                       make_multi_train_step, make_train_step, stack_batches)
 from .training.checkpoint import CheckpointManager, load_params_only
 from .utils import MetricsLogger, maybe_init_wandb
 
@@ -109,7 +109,14 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
                         for _ in iter(int, 1))
         device_iter = DevicePrefetcher(stacked_iter, mesh, depth=2)
     else:
-        step_fn = make_train_step(model, tcfg)
+        # two statically-gated variants: after proposal warmup only every
+        # proposal_update_every-th step pays the proposal backward
+        # (ray_samplers.py:536-544 semantics; host_step_schedule mirrors the
+        # traced gate exactly, so the ssu counter evolution is identical)
+        step_fns = {
+            True: make_train_step(model, tcfg, static_updated=True),
+            False: make_train_step(model, tcfg, static_updated=False),
+        }
         device_iter = DevicePrefetcher(loader, mesh, depth=2)
     max_steps = max_steps_override or cfg.training.max_steps
     print(f"starting training for {max_steps} steps "
@@ -117,10 +124,16 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     key = jax.random.PRNGKey(cfg.seed + 1)
     t_last, n_last = time.time(), 0
     i = 0
+    host_ssu = 0  # mirrors state.steps_since_update (host_step_schedule)
     while i < max_steps:
         key, sub = jax.random.split(key)
         batch = next(device_iter)
-        state, metrics = step_fn(state, batch, sub)
+        if spc > 1:
+            state, metrics = step_fn(state, batch, sub)
+        else:
+            updated, host_ssu = host_step_schedule(i, host_ssu,
+                                                   model.cfg.rendering)
+            state, metrics = step_fns[updated](state, batch, sub)
         first = i == 0
         prev = i
         i += spc

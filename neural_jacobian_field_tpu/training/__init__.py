@@ -9,4 +9,6 @@ from .train import (
     make_train_step,
     make_multi_train_step,
     stack_batches,
+    host_step_schedule,
+    stop_frozen_gradients,
 )

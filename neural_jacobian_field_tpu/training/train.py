@@ -162,11 +162,47 @@ def merge_compatible_params(template, loaded, report: list = None):
     return flax.traverse_util.unflatten_dict(merged)
 
 
-def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True):
+def host_step_schedule(step: int, steps_since_update: int, rendering_cfg):
+    """Host-side mirror of `step_schedules`' update gate (same arithmetic on
+    Python scalars): returns (updated, new_steps_since_update). Used by the
+    train loop / bench to pick between the two statically-gated compiled
+    step variants (see make_train_step's `static_updated`)."""
+    sched = min(max(
+        step / rendering_cfg.proposal_warmup * rendering_cfg.proposal_update_every,
+        1.0), float(rendering_cfg.proposal_update_every))
+    updated = (steps_since_update > sched) or (step < 10)
+    return updated, (0 if updated else steps_since_update) + 1
+
+
+def stop_frozen_gradients(params, mode: str, action_decoder_cfg):
+    """Stage 2 ("action"): stop_gradient every FROZEN param leaf before the
+    forward pass. The optax mask already zeroes their updates, so numerics
+    are identical — but making the grads structurally zero lets XLA
+    dead-code-eliminate the frozen encoder/proposal/density backward, which
+    the reference gets for free from requires_grad=False
+    (model_wrapper.py:75-85)."""
+    if mode != "action":
+        return params
+    labels = trainable_mask(params, mode, action_decoder_cfg)
+    return jax.tree.map(
+        lambda p, l: p if l == "trainable" else jax.lax.stop_gradient(p),
+        params, labels,
+    )
+
+
+def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True,
+                    static_updated: "Optional[bool]" = None):
     """Build the jitted train step: (state, raw_batch, key) -> (state, metrics).
 
     The returned fn is SPMD-ready: pass batch leaves sharded over a mesh
     "data" axis and replicated params; XLA inserts the grad all-reduces.
+
+    `static_updated`: bake the proposal-update gate (ray_samplers.py:536-544)
+    into the compiled program instead of tracing it. The train loop compiles
+    BOTH variants and dispatches per step via `host_step_schedule` — after
+    warmup only every `proposal_update_every`-th step pays the proposal
+    backward (reference semantics exactly; the traced default multiplies
+    that backward by zero instead of deleting it).
     """
     rendering_cfg = model.cfg.rendering
     mode = cfg.mode
@@ -176,11 +212,16 @@ def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True):
         anneal, updated, new_ssu = step_schedules(
             state.step, state.steps_since_update, rendering_cfg
         )
+        if static_updated is not None:
+            updated = static_updated
+            new_ssu = (jnp.asarray(1, jnp.int32) if static_updated
+                       else state.steps_since_update + 1)
         mi, mt = prepare_training_batch(k_prep, batch, cfg.rays_per_batch, mode=mode)
         ctx = StepCtx(key=k_samp, anneal=anneal, updated=updated)
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {"params": stop_frozen_gradients(
+                params, mode, model.cfg.action_decoder)}
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
                 out, updates = model.apply(variables, mi, ctx, train=True,
@@ -255,7 +296,8 @@ def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
             ctx = StepCtx(key=k_samp, anneal=anneal, updated=updated)
 
             def loss_fn(params):
-                variables = {"params": params}
+                variables = {"params": stop_frozen_gradients(
+                    params, mode, model.cfg.action_decoder)}
                 if st.batch_stats is not None:
                     variables["batch_stats"] = st.batch_stats
                     out, upd = model.apply(variables, mi, ctx, train=True,

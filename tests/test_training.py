@@ -277,3 +277,45 @@ def test_flow_mlp_action_training():
     assert changed
     for k in changed:
         assert k[0] == "decoder" and any("flow_head" in p for p in k), k
+
+
+def test_static_update_dispatch_matches_traced():
+    """The host-dispatched statically-gated step variants (train loop,
+    make_train_step(static_updated=...)) must evolve params AND the
+    steps_since_update counter exactly like the traced jnp.where gating —
+    the static gate only deletes dead backward work (ray_samplers.py:536-544
+    torch.no_grad semantics). Runs past step 10 so both gate branches and a
+    warmup-schedule boundary are exercised (tiny cfg: warmup=10, every=2)."""
+    from neural_jacobian_field_tpu.training import host_step_schedule
+
+    model = tiny_model()
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    cfg = TrainCfg(rays_per_batch=32, lr=1e-3, warm_up_steps=2)
+    key = jax.random.PRNGKey(1)
+    state_t = create_train_state(key, model, raw, cfg)
+    state_s = jax.tree.map(jnp.copy, state_t)
+
+    traced = make_train_step(model, cfg, donate=False)
+    static_fns = {
+        True: make_train_step(model, cfg, donate=False, static_updated=True),
+        False: make_train_step(model, cfg, donate=False, static_updated=False),
+    }
+
+    host_ssu = int(state_s.steps_since_update)
+    gates = []
+    for i in range(14):
+        k = jax.random.PRNGKey(100 + i)
+        state_t, _ = traced(state_t, raw, k)
+        updated, host_ssu = host_step_schedule(i, host_ssu, model.cfg.rendering)
+        gates.append(updated)
+        state_s, _ = static_fns[updated](state_s, raw, k)
+        assert host_ssu == int(state_s.steps_since_update) == int(
+            state_t.steps_since_update), f"ssu diverged at step {i}"
+    assert True in gates and False in gates, gates
+
+    # tight-tolerance, not bitwise: the two compiled programs fuse the
+    # shared forward differently (the static variant's backward is DCE'd),
+    # so reductions reassociate — observed max |diff| ~2e-10 on f32 params.
+    for a, b in zip(jax.tree.leaves(state_t.params), jax.tree.leaves(state_s.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
