@@ -77,26 +77,47 @@ def try_step(rays, tracks, remat, k=6):
     return BATCH * (tracks or rays) / per
 
 
+def run_one(mode, remat, size):
+    tag = {"mode": mode, "remat": remat,
+           ("tracks" if mode == "tracks" else "rays_per_scene"): size}
+    try:
+        rps = try_step(rays=size if mode == "flow" else 256,
+                       tracks=size if mode == "tracks" else 0, remat=remat)
+        tag.update(ok=True, rays_per_sec=round(rps, 0))
+    except Exception as e:
+        msg = str(e)
+        oom = "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+        tag.update(ok=False, oom=oom, error=type(e).__name__,
+                   msg=msg.splitlines()[0][:200] if msg else "")
+    print(json.dumps(tag), flush=True)
+    return tag
+
+
 def sweep(mode, remat, sizes):
+    """Each size runs in a FRESH subprocess: an OOMed attempt can leave the
+    (remote) device allocator poisoned, turning every later config in the
+    same process into a false OOM (observed: tracks-1472 'OOM' right after
+    a real flow-4096 one, while the same shape passes standalone)."""
+    import subprocess
+
     results = []
     for s in sizes:
-        tag = {"mode": mode, "remat": remat,
-               ("tracks" if mode == "tracks" else "rays_per_scene"): s}
-        try:
-            rps = try_step(rays=s if mode == "flow" else 256,
-                           tracks=s if mode == "tracks" else 0, remat=remat)
-            tag.update(ok=True, rays_per_sec=round(rps, 0))
-        except Exception as e:
-            msg = str(e)
-            oom = "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
-            tag.update(ok=False, oom=oom, error=type(e).__name__)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one",
+             f"{mode}:{'on' if remat else 'off'}:{s}"],
+            capture_output=True, text=True)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if line:
+            tag = json.loads(line[-1])
             print(json.dumps(tag), flush=True)
-            if oom:
-                break
-            else:
-                raise
-        print(json.dumps(tag), flush=True)
+        else:
+            tag = {"mode": mode, "remat": remat, "size": s, "ok": False,
+                   "oom": False, "error": f"subprocess rc={out.returncode}"}
+            print(json.dumps(tag), flush=True)
+            print(out.stderr[-800:], file=sys.stderr, flush=True)
         results.append(tag)
+        if not tag.get("ok") and tag.get("oom"):
+            break
     return results
 
 
@@ -104,10 +125,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both", choices=["flow", "tracks", "both"])
     ap.add_argument("--remat", default="both", choices=["on", "off", "both"])
+    ap.add_argument("--one", default=None,
+                    help="internal: run a single 'mode:remat:size' config")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir",
                       str(Path.home() / ".cache" / "njf_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.one:
+        mode, remat, size = args.one.split(":")
+        run_one(mode, remat == "on", int(size))
+        return
 
     flow_sizes = [256, 1024, 4096, 8192, 16384, 32768]
     track_sizes = [1472, 4096, 8192, 16384, 32768, 65536]

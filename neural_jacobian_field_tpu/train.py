@@ -104,6 +104,19 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     spc = max(int(cfg.training.steps_per_call), 1)
     if spc > 1:
         step_fn = make_multi_train_step(model, tcfg, steps_per_call=spc)
+        # when the dispatch window tiles the steady-state proposal-gate cycle
+        # ((update_every) frozen + 1 update), also compile a statically-gated
+        # unrolled program: XLA deletes the proposal backward on the frozen
+        # substeps (see make_train_step's static_updated)
+        cycle = int(model.cfg.rendering.proposal_update_every) + 1
+        steady_pattern = None
+        steady_fn = None
+        if spc % cycle == 0:
+            steady_pattern = tuple(
+                ((i + 1) % cycle == 0) for i in range(spc))
+            steady_fn = make_multi_train_step(
+                model, tcfg, steps_per_call=spc,
+                static_schedule=steady_pattern)
         host_iter = iter(loader)
         stacked_iter = (stack_batches([next(host_iter) for _ in range(spc)])
                         for _ in iter(int, 1))
@@ -129,7 +142,17 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
         key, sub = jax.random.split(key)
         batch = next(device_iter)
         if spc > 1:
-            state, metrics = step_fn(state, batch, sub)
+            # window gates from the host mirror; the statically-gated program
+            # serves exactly the steady-state pattern, the traced scan serves
+            # warmup windows (any pattern)
+            gates, ssu = [], host_ssu
+            for j in range(spc):
+                g, ssu = host_step_schedule(i + j, ssu, model.cfg.rendering)
+                gates.append(g)
+            host_ssu = ssu
+            fn = (steady_fn if steady_fn is not None
+                  and tuple(gates) == steady_pattern else step_fn)
+            state, metrics = fn(state, batch, sub)
         else:
             updated, host_ssu = host_step_schedule(i, host_ssu,
                                                    model.cfg.rendering)

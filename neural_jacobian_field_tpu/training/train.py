@@ -268,63 +268,95 @@ def make_train_step(model: Model, cfg: TrainCfg, donate: bool = True,
 
 
 def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
-                          donate: bool = True):
+                          donate: bool = True,
+                          static_schedule: "Optional[Tuple[bool, ...]]" = None):
     """K train steps per device dispatch: (state, stacked_batch, key) ->
     (state, stacked metrics [K]).
 
     `stacked_batch` leaves carry a leading [K] axis (see `stack_batches`).
-    The K steps run as one `lax.scan` inside one compiled program — on
-    dispatch-latency-bound setups (remote-TPU tunnels; tiny models) this
-    amortizes the per-call round trip by K. Semantically identical to K
-    sequential `make_train_step` calls with the split keys.
+    The K steps run as one compiled program — on dispatch-latency-bound
+    setups (remote-TPU tunnels; tiny models) this amortizes the per-call
+    round trip by K. Semantically identical to K sequential
+    `make_train_step` calls with the split keys.
+
+    `static_schedule`: a length-K tuple of proposal-gate values to BAKE into
+    the program (see make_train_step's `static_updated`). The K substeps are
+    then Python-unrolled instead of scanned, so XLA deletes the proposal
+    backward on the frozen substeps. At steady state the gate pattern is
+    periodic with period proposal_update_every+1 — the train loop compiles
+    ONE such program (pattern (F,)*update_every + (T,), entered aligned) and
+    keeps the traced-scan variant for warmup windows.
     """
     rendering_cfg = model.cfg.rendering
     mode = cfg.mode
 
-    def multi_step_fn(state: TrainState, stacked_batch: RawBatch, key: jax.Array):
-        keys = jax.random.split(key, steps_per_call)
+    def substep(st: TrainState, batch: RawBatch, k: jax.Array,
+                static_updated: "Optional[bool]"):
+        k_prep, k_samp = jax.random.split(k)
+        anneal, updated, new_ssu = step_schedules(
+            st.step, st.steps_since_update, rendering_cfg
+        )
+        if static_updated is not None:
+            updated = static_updated
+            new_ssu = (jnp.asarray(1, jnp.int32) if static_updated
+                       else st.steps_since_update + 1)
+        mi, mt = prepare_training_batch(k_prep, batch, cfg.rays_per_batch,
+                                        mode=mode)
+        ctx = StepCtx(key=k_samp, anneal=anneal, updated=updated)
 
-        def body(carry, xs):
-            st = carry
-            batch, k = xs
-            k_prep, k_samp = jax.random.split(k)
-            anneal, updated, new_ssu = step_schedules(
-                st.step, st.steps_since_update, rendering_cfg
-            )
-            mi, mt = prepare_training_batch(k_prep, batch, cfg.rays_per_batch,
-                                            mode=mode)
-            ctx = StepCtx(key=k_samp, anneal=anneal, updated=updated)
+        def loss_fn(params):
+            variables = {"params": stop_frozen_gradients(
+                params, mode, model.cfg.action_decoder)}
+            if st.batch_stats is not None:
+                variables["batch_stats"] = st.batch_stats
+                out, upd = model.apply(variables, mi, ctx, train=True,
+                                       mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, mi, ctx, train=True)
+                upd = {}
+            if mode == "perception":
+                loss, metrics = perception_loss(out, mt, cfg.loss)
+            else:
+                loss, metrics = action_loss(out, mt, cfg.loss)
+            return loss, (metrics, upd.get("batch_stats"))
 
-            def loss_fn(params):
-                variables = {"params": stop_frozen_gradients(
-                    params, mode, model.cfg.action_decoder)}
-                if st.batch_stats is not None:
-                    variables["batch_stats"] = st.batch_stats
-                    out, upd = model.apply(variables, mi, ctx, train=True,
-                                           mutable=["batch_stats"])
-                else:
-                    out = model.apply(variables, mi, ctx, train=True)
-                    upd = {}
-                if mode == "perception":
-                    loss, metrics = perception_loss(out, mt, cfg.loss)
-                else:
-                    loss, metrics = action_loss(out, mt, cfg.loss)
-                return loss, (metrics, upd.get("batch_stats"))
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(st.params)
+        tx = make_optimizer(cfg, st.params, model.cfg.action_decoder)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        new_state = TrainState(
+            step=st.step + 1,
+            params=optax.apply_updates(st.params, updates),
+            batch_stats=new_bs if st.batch_stats is not None else None,
+            opt_state=new_opt,
+            steps_since_update=new_ssu,
+        )
+        return new_state, metrics
 
-            (_, (metrics, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(st.params)
-            tx = make_optimizer(cfg, st.params, model.cfg.action_decoder)
-            updates, new_opt = tx.update(grads, st.opt_state, st.params)
-            new_state = TrainState(
-                step=st.step + 1,
-                params=optax.apply_updates(st.params, updates),
-                batch_stats=new_bs if st.batch_stats is not None else None,
-                opt_state=new_opt,
-                steps_since_update=new_ssu,
-            )
-            return new_state, metrics
+    if static_schedule is not None:
+        assert len(static_schedule) == steps_per_call
 
-        return jax.lax.scan(body, state, (stacked_batch, keys))
+        def multi_step_fn(state: TrainState, stacked_batch: RawBatch,
+                          key: jax.Array):
+            keys = jax.random.split(key, steps_per_call)
+            ms = []
+            for i, gate in enumerate(static_schedule):
+                batch_i = jax.tree.map(
+                    lambda x: None if x is None else x[i], stacked_batch,
+                    is_leaf=lambda x: x is None)
+                state, m = substep(state, batch_i, keys[i], bool(gate))
+                ms.append(m)
+            return state, jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+    else:
+        def multi_step_fn(state: TrainState, stacked_batch: RawBatch,
+                          key: jax.Array):
+            keys = jax.random.split(key, steps_per_call)
+
+            def body(carry, xs):
+                batch, k = xs
+                return substep(carry, batch, k, None)
+
+            return jax.lax.scan(body, state, (stacked_batch, keys))
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(multi_step_fn, donate_argnums=donate_argnums)

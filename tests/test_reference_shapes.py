@@ -1,16 +1,16 @@
-"""Reference-shape tracing regression test (VERDICT r2 weak #6).
+"""Reference-shape trace checks (VERDICT r2 weak #6).
 
-Most tests run 24x24 toy shapes; this one abstractly evaluates the FULL
-flagship training step at the reference workload (480x640 context, batch 7,
-256 rays, 256+256 samples, epipolar mode, bf16) via jax.eval_shape — no
-FLOPs, no compile, but every shape/broadcast/trace error in the
-reference-scale program surfaces. (Mosaic lowering of the Pallas kernels is
-TPU-only and covered by bench.py; the K7 gate skips the kernel off-TPU.)
+The CI suite runs toy shapes for speed; the only reference-shape execution
+used to be driver-run bench.py. These tests TRACE (jax.eval_shape — no
+compile, no compute, abstract params) the full train step and the
+whole-image forward at the real workload shape (batch 7, 480x640 context,
+256+256 samples, epipolar knots), so a refactor that breaks shapes/ranks at
+scale fails in CI. The TPU-only Pallas kernels are backend-gated off on CPU;
+their own parity tests cover them — this guards the surrounding graph.
 """
 
 import jax
 import jax.numpy as jnp
-import pytest
 
 from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
 from neural_jacobian_field_tpu.models.model import Model, RenderingCfg, make_model_cfg
@@ -18,52 +18,94 @@ from neural_jacobian_field_tpu.training import (
     RawBatch, TrainCfg, create_train_state, make_train_step,
 )
 
-B, H, W, RAYS, S = 7, 480, 640, 256, 256
+BATCH, H, W = 7, 480, 640
+ACTION_DIM = 8
 
 
-def _abstract_batch(mode="perception", tracks=0):
+def _flagship():
+    return Model(
+        cfg=make_model_cfg(
+            "jacobian_mlp", action_dim=ACTION_DIM,
+            rendering=RenderingCfg(num_proposal_samples=(256,),
+                                   num_nerf_samples=256,
+                                   pixel_feature_mode="epipolar",
+                                   use_pallas_pdf=True,
+                                   use_fused_trunk=True,
+                                   fuse_positional_encoding=True),
+            encoder=EncoderResnetCfg(norm_type="batch"),
+        ),
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def _raw_batch_struct(mode="perception", tracks=0):
     f32 = jnp.float32
-    sd = jax.ShapeDtypeStruct
-    raw = RawBatch(
-        ctxt_rgb=sd((B, H, W, 3), f32),
-        ctxt_extrinsics=sd((B, 4, 4), f32), ctxt_intrinsics=sd((B, 3, 3), f32),
-        robot_action=sd((B, 8), f32),
-        trgt_rgb=sd((B, H, W, 3), f32), trgt_depth=sd((B, H, W, 1), f32),
-        trgt_extrinsics=sd((B, 4, 4), f32), trgt_intrinsics=sd((B, 3, 3), f32),
-        near=sd((B,), f32), far=sd((B,), f32),
+
+    def spec(*shape):
+        return jax.ShapeDtypeStruct(shape, f32)
+
+    kw = dict(
+        ctxt_rgb=spec(BATCH, H, W, 3),
+        ctxt_extrinsics=spec(BATCH, 4, 4), ctxt_intrinsics=spec(BATCH, 3, 3),
+        robot_action=spec(BATCH, ACTION_DIM),
+        trgt_rgb=spec(BATCH, H, W, 3), trgt_depth=spec(BATCH, H, W, 1),
+        trgt_extrinsics=spec(BATCH, 4, 4), trgt_intrinsics=spec(BATCH, 3, 3),
+        near=spec(BATCH), far=spec(BATCH),
     )
     if mode == "action":
         if tracks:
-            raw = raw.replace(
-                pixel_selector=sd((B, tracks), jnp.int32),
-                pixel_motion=sd((B, tracks, 2), f32),
-                pixel_visible_mask=sd((B, tracks), f32),
+            kw.update(
+                pixel_selector=jax.ShapeDtypeStruct((BATCH, tracks), jnp.int32),
+                pixel_motion=spec(BATCH, tracks, 2),
+                pixel_visible_mask=spec(BATCH, tracks),
             )
         else:
-            raw = raw.replace(flow=sd((B, H, W, 2), f32))
-    return raw
+            kw.update(flow=spec(BATCH, H, W, 2))
+    return RawBatch(**kw)
 
 
-@pytest.mark.parametrize("mode,tracks", [("perception", 0), ("action", 0),
-                                         ("action", 1472)])
-def test_flagship_step_traces_at_reference_shapes(mode, tracks):
-    model = Model(cfg=make_model_cfg(
-        "jacobian_mlp", action_dim=8,
-        rendering=RenderingCfg(num_proposal_samples=(S,), num_nerf_samples=S,
-                               use_pallas_pdf=True, use_fused_trunk=True,
-                               pixel_feature_mode="epipolar"),
-        encoder=EncoderResnetCfg(norm_type="batch")),
-        compute_dtype=jnp.bfloat16)
-    cfg = TrainCfg(mode=mode, rays_per_batch=RAYS)
-    raw = _abstract_batch(mode, tracks)
+def _trace_step(mode, tracks=0, rays=256):
+    model = _flagship()
+    struct = _raw_batch_struct(mode=mode, tracks=tracks)
+    cfg = TrainCfg(mode=mode, rays_per_batch=rays)
 
-    # concrete init is too slow at this scale; eval_shape it (raw must be an
-    # ARGUMENT so eval_shape substitutes tracers for the ShapeDtypeStructs)
-    state_shape = jax.eval_shape(
-        lambda r: create_train_state(jax.random.PRNGKey(0), model, r, cfg), raw)
-    step = make_train_step(model, cfg, donate=False)
-    out_shape = jax.eval_shape(step, state_shape, raw,
-                               jax.ShapeDtypeStruct((2,), jnp.uint32))
-    new_state, metrics = out_shape
+    def init_and_step(raw, key):
+        state = create_train_state(key, model, raw, cfg)
+        step = make_train_step(model, cfg, donate=False, static_updated=False)
+        return step(state, raw, key)
+
+    new_state, metrics = jax.eval_shape(
+        init_and_step, struct, jax.ShapeDtypeStruct((2,), jnp.uint32))
     assert metrics["loss/total"].shape == ()
-    assert jax.tree.structure(new_state) == jax.tree.structure(state_shape)
+    assert jax.tree.leaves(new_state.params)
+
+
+def test_reference_shape_perception_traces():
+    _trace_step("perception")
+
+
+def test_reference_shape_action_tracks_traces():
+    _trace_step("action", tracks=1472, rays=1472)
+
+
+def test_reference_shape_forward_traces():
+    from neural_jacobian_field_tpu.models.model import StepCtx
+    from neural_jacobian_field_tpu.training import prepare_training_batch
+
+    model = _flagship()
+    struct = _raw_batch_struct()
+    cfg = TrainCfg(mode="perception", rays_per_batch=64)
+
+    def init_and_fwd(raw, key):
+        state = create_train_state(key, model, raw, cfg)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        mi, _ = prepare_training_batch(key, raw, 64)
+        ctx = StepCtx(key=jax.random.PRNGKey(2), anneal=jnp.asarray(1.0),
+                      updated=jnp.asarray(True))
+        return model.apply(variables, mi, ctx, train=False)
+
+    out = jax.eval_shape(init_and_fwd, struct,
+                         jax.ShapeDtypeStruct((2,), jnp.uint32))
+    assert out.rgb.shape[-1] == 3

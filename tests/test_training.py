@@ -319,3 +319,67 @@ def test_static_update_dispatch_matches_traced():
     for a, b in zip(jax.tree.leaves(state_t.params), jax.tree.leaves(state_s.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_static_schedule_multi_step_matches_sequential():
+    """The statically-gated unrolled multi-step (the steady-state dispatch in
+    train.py) must evolve params and the ssu counter exactly like spc
+    sequential traced steps over the same batches/keys. Uses a state already
+    past proposal warmup, window-aligned at ssu=1 (pattern F,F,T at
+    update_every=2)."""
+    from neural_jacobian_field_tpu.training import (
+        host_step_schedule, make_multi_train_step, stack_batches,
+    )
+
+    model = tiny_model()
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    cfg = TrainCfg(rays_per_batch=32, lr=1e-3, warm_up_steps=2)
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    # jump past warmup (proposal_warmup=10), aligned right after an update
+    state = state.replace(step=jnp.asarray(100, jnp.int32),
+                          steps_since_update=jnp.asarray(1, jnp.int32))
+
+    spc, cycle = 3, int(model.cfg.rendering.proposal_update_every) + 1
+    assert spc % cycle == 0
+    pattern = tuple(((i + 1) % cycle == 0) for i in range(spc))
+    # the host mirror agrees the window is the steady pattern
+    gates, ssu = [], int(state.steps_since_update)
+    for j in range(spc):
+        g, ssu = host_step_schedule(100 + j, ssu, model.cfg.rendering)
+        gates.append(g)
+    assert tuple(gates) == pattern, gates
+
+    batches = [tiny_batch(jax.random.PRNGKey(10 + i)) for i in range(spc)]
+    stacked = stack_batches(batches)
+
+    key = jax.random.PRNGKey(7)
+    static_fn = make_multi_train_step(model, cfg, steps_per_call=spc,
+                                      donate=False, static_schedule=pattern)
+    state_s, ms = static_fn(state, stacked, key)
+
+    traced = make_train_step(model, cfg, donate=False)
+    state_t = state
+    keys = jax.random.split(key, spc)
+    losses_seq = []
+    for i in range(spc):
+        state_t, mt = traced(state_t, batches[i], keys[i])
+        losses_seq.append(float(mt["loss/total"]))
+
+    assert int(state_s.steps_since_update) == int(state_t.steps_since_update)
+    assert int(state_s.step) == int(state_t.step)
+    assert ms["loss/total"].shape == (spc,)
+    # bitwise equality across a CHAIN of Adam updates is unattainable — the
+    # fused program reassociates reductions and fresh second moments amplify
+    # tiny grad diffs (the pre-existing traced-scan multi-step diverges from
+    # sequential dispatches at the same rate; measured here: static is
+    # CLOSER to sequential than the scan variant). Provable invariants:
+    # substep 0 shares the exact starting params (tight), later losses track
+    # (loose), counters exact (above).
+    np.testing.assert_allclose(float(ms["loss/total"][0]), losses_seq[0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ms["loss/total"]), losses_seq,
+                               rtol=5e-2)
+    for a, b in zip(jax.tree.leaves(state_t.params), jax.tree.leaves(state_s.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)
