@@ -28,8 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.activations import density_activation
-from ..ops.encodings import (LazyPositionalEncoding, nerf_positional_encoding,
-                             sh_encoding_deg4)
+from ..ops.encodings import nerf_positional_encoding, sh_encoding_deg4
 from . import initializers as init
 from .pixel_aligned import get_pixel_aligned_features
 from .resnet_fc import MlpCfg, ResnetFC
@@ -129,21 +128,6 @@ def _normalized_directions(directions: jax.Array) -> jax.Array:
     return (directions + 1.0) / 2.0
 
 
-def _xyz_encoding_impl(cam_xyz, num_frequencies: int, fused_pe: bool):
-    """PE over camera-space coords; lazy when the K7 kernel will compute it
-    in VMEM (resnet_fc.py routes LazyPositionalEncoding into pe_cfg)."""
-    if fused_pe:
-        return LazyPositionalEncoding(
-            xyz=cam_xyz, num_frequencies=num_frequencies, min_freq_exp=0.0,
-            max_freq_exp=num_frequencies - 1.0, include_input=True)
-    return nerf_positional_encoding(cam_xyz, num_frequencies, 0.0,
-                                    num_frequencies - 1.0)
-
-
-def _as_array(x):
-    return x.materialize() if isinstance(x, LazyPositionalEncoding) else x
-
-
 def _cat_features(z):
     """Pixel-aligned features arrive as a lazy KnotFeatures in the epipolar
     path (pixel_aligned.py); ResnetFC trunks consume it directly (knot-side
@@ -170,9 +154,6 @@ class DensityDecoderMlp(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
     fused_trunk: bool = False
-    # defer the xyz frequency encoding into the K7 kernel (computed in VMEM
-    # from raw coords; the [N, 2dF+d] tensor never exists in HBM)
-    fused_pe: bool = False
 
     def setup(self):
         self.density_head = _trunk_cls(self.remat)(
@@ -182,9 +163,6 @@ class DensityDecoderMlp(nn.Module):
         )
         self._activation = density_activation("trunc_exp")
 
-    def _xyz_encoding(self, cam_xyz):
-        return _xyz_encoding_impl(cam_xyz, self.cfg.num_frequencies, self.fused_pe)
-
     def __call__(self, world_space_xyz: jax.Array, pixel_encoding: PixelEncoding) -> jax.Array:
         """[B, R, S, 3] world points -> [B, R, S, 1] densities."""
         b, r, s = world_space_xyz.shape[:3]
@@ -193,7 +171,9 @@ class DensityDecoderMlp(nn.Module):
             xyz, pixel_encoding.extrinsics, pixel_encoding.intrinsics,
             pixel_encoding.features,
         )
-        pe = self._xyz_encoding(cam_xyz)
+        pe = nerf_positional_encoding(
+            cam_xyz, self.cfg.num_frequencies, 0.0, self.cfg.num_frequencies - 1.0
+        )
         raw, _ = self.density_head(aligned, pe)
         return self._activation(raw).reshape(b, r, s, 1)
 
@@ -224,10 +204,6 @@ class ActionDecoderBase(nn.Module):
     action_dim: int = 0  # overridden
     spatial_dim: int = 3
 
-    def _xyz_encoding(self, cam_xyz):
-        return _xyz_encoding_impl(cam_xyz, self.cfg.num_frequencies,
-                                  getattr(self, "fused_pe", False))
-
     def compute_density(self, world_space_xyz: jax.Array,
                         pixel_encoding: PixelEncoding) -> DensityHeadOutput:
         """xyz [B, N, 3] -> densities + intermediate features."""
@@ -235,7 +211,9 @@ class ActionDecoderBase(nn.Module):
             world_space_xyz, pixel_encoding.extrinsics, pixel_encoding.intrinsics,
             pixel_encoding.features,
         )
-        xyz_features = self._xyz_encoding(cam_xyz)
+        xyz_features = nerf_positional_encoding(
+            cam_xyz, self.cfg.num_frequencies, 0.0, self.cfg.num_frequencies - 1.0
+        )
         raw, _ = self.density_head(aligned, xyz_features)
         density_features = raw[..., : self.cfg.geometry_feature_dim]
         density = self._activation(raw[..., self.cfg.geometry_feature_dim :])
@@ -310,9 +288,6 @@ class ActionDecoderJacobianMlp(ActionDecoderBase):
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
     fused_trunk: bool = False
-    # defer the xyz frequency encoding into the K7 kernel (computed in VMEM
-    # from raw coords; the [N, 2dF+d] tensor never exists in HBM)
-    fused_pe: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -353,9 +328,6 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
     fused_trunk: bool = False
-    # defer the xyz frequency encoding into the K7 kernel (computed in VMEM
-    # from raw coords; the [N, 2dF+d] tensor never exists in HBM)
-    fused_pe: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -400,8 +372,7 @@ class ActionDecoderJacobianTransformer(ActionDecoderBase):
             out, _ = self.jacobian_head_arm(dho.pixel_aligned_features, dho.xyz_features)
             return out
         query = jnp.concatenate(
-            [_as_array(dho.xyz_features),
-             _cat_features(dho.pixel_aligned_features)], axis=-1)
+            [dho.xyz_features, _cat_features(dho.pixel_aligned_features)], axis=-1)
         query = self.jacobian_query_mlp(query)
         tokens = self.jacobian_attn_decoder(query, z=self.jacobian_index_embedding)
         return self.jacobian_head(tokens.astype(jnp.float32))
@@ -416,9 +387,6 @@ class ActionDecoderFlowMlp(ActionDecoderBase):
     compute_dtype: Optional[jnp.dtype] = None
     remat: bool = False
     fused_trunk: bool = False
-    # defer the xyz frequency encoding into the K7 kernel (computed in VMEM
-    # from raw coords; the [N, 2dF+d] tensor never exists in HBM)
-    fused_pe: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -475,13 +443,10 @@ DECODERS = {
 
 
 def get_action_decoder(cfg, action_dim: int, encoder_dim: int, compute_dtype=None,
-                       remat: bool = False, fused_trunk: bool = False,
-                       fused_pe: bool = False):
+                       remat: bool = False, fused_trunk: bool = False):
     """Registry dispatch (models/decoder/__init__.py:37-44). remat
     rematerializes the ResnetFC trunk activations in backward; fused_trunk
-    routes ResnetFC heads through the K7 Pallas kernel on TPU; fused_pe
-    additionally computes the xyz frequency encoding inside that kernel."""
+    routes ResnetFC heads through the K7 Pallas kernel on TPU."""
     _, cls = DECODERS[cfg.name]
     return cls(cfg=cfg, action_dim=action_dim, encoder_dim=encoder_dim,
-               compute_dtype=compute_dtype, remat=remat, fused_trunk=fused_trunk,
-               fused_pe=fused_pe)
+               compute_dtype=compute_dtype, remat=remat, fused_trunk=fused_trunk)

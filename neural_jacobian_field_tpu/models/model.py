@@ -69,11 +69,6 @@ class RenderingCfg:
     # The kernel computes in bf16; it only engages when the model's
     # compute_dtype is bfloat16 (f32 models keep the XLA chain — resnet_fc.py).
     use_fused_trunk: bool = False
-    # compute the xyz frequency encoding INSIDE the K7 kernel (from raw
-    # camera-space coords, in VMEM) instead of materializing it in HBM.
-    # Only engages where use_fused_trunk engages; bit-matches the XLA PE
-    # up to the kernel's bf16 cast (tests/test_pallas.py).
-    fuse_positional_encoding: bool = False
 
 
 @dataclass(frozen=True)
@@ -224,13 +219,11 @@ class Model(nn.Module):
             cfg.action_decoder, action_dim=cfg.action_dim, encoder_dim=encoder_dim,
             compute_dtype=self.compute_dtype, remat=self.remat,
             fused_trunk=cfg.rendering.use_fused_trunk,
-            fused_pe=cfg.rendering.fuse_positional_encoding,
         )
         self.proposal_networks = [
             DensityDecoderMlp(cfg=cfg.density_decoder, encoder_dim=encoder_dim,
                               compute_dtype=self.compute_dtype, remat=self.remat,
                               fused_trunk=cfg.rendering.use_fused_trunk,
-                              fused_pe=cfg.rendering.fuse_positional_encoding,
                               name=f"proposal_networks_{i}")
             for i in range(len(cfg.rendering.num_proposal_samples))
         ]

@@ -118,28 +118,14 @@ class ResnetFC(nn.Module):
             # the XLA chain unless the model already runs bf16
             and dt == jnp.bfloat16
         )
-        from ..ops.encodings import LazyPositionalEncoding
         from ..ops.epipolar import KnotFeatures
-
-        # deferred frequency encoding: the fused kernel computes it in VMEM
-        # from the raw coords (pe_cfg); every other path materializes the
-        # bit-identical XLA expression here
-        pe_cfg = None
-        if isinstance(x, LazyPositionalEncoding):
-            if use_fused:
-                pe_cfg = (x.num_frequencies, x.min_freq_exp, x.max_freq_exp,
-                          x.include_input)
-                d_in, x = x.dim, x.xyz
-            else:
-                x = x.materialize()
 
         if use_fused:
             from ..ops.pallas.field_mlp_train import (
                 fused_resnet_fc_train, fused_resnet_fc_train_tz,
             )
 
-            params = self._declare_params(
-                kinit, binit, d_in if pe_cfg is not None else x.shape[-1])
+            params = self._declare_params(kinit, binit, x.shape[-1])
             n_lin_z = min(self.cfg.combine_layer, self.cfg.n_blocks)
             if isinstance(z, KnotFeatures) and n_lin_z > 0:
                 # knot-side latent projection: tz = sum_l H @ (K_l @ W_l)
@@ -163,12 +149,11 @@ class ResnetFC(nn.Module):
                     for k, v in params.items()
                 }
                 out = fused_resnet_fc_train_tz(params_tz, self.cfg, tz, x,
-                                               self.d_out, False, pe_cfg)
+                                               self.d_out)
                 return out, None
             if isinstance(z, KnotFeatures):
                 z = z.interp_levels()
-            out = fused_resnet_fc_train(params, self.cfg, z, x, self.d_out,
-                                        False, pe_cfg)
+            out = fused_resnet_fc_train(params, self.cfg, z, x, self.d_out)
             return out, None
 
         if isinstance(z, KnotFeatures):

@@ -10,7 +10,6 @@ not a standalone kernel.
 import math
 from functools import partial
 
-import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -42,39 +41,6 @@ def nerf_positional_encoding(
     if include_input:
         enc = jnp.concatenate([enc, x], axis=-1)
     return enc
-
-
-@flax.struct.dataclass
-class LazyPositionalEncoding:
-    """Deferred NeRF frequency encoding.
-
-    The K7 fused trunk (ops/pallas/field_mlp_train.py) can compute the PE
-    in-kernel from the raw camera-space coordinates — the [N, 2*d*F] encoded
-    tensor then never exists in HBM (trace r3: 1.8 ms of sine fusions plus
-    3x [N, 63] kernel reads per step at reference shapes). Consumers that
-    need the array call `materialize()` (bit-identical to
-    nerf_positional_encoding).
-    """
-
-    xyz: jax.Array  # [..., d], f32 (the sine args need f32 precision)
-    num_frequencies: int = flax.struct.field(pytree_node=False, default=10)
-    min_freq_exp: float = flax.struct.field(pytree_node=False, default=0.0)
-    max_freq_exp: float = flax.struct.field(pytree_node=False, default=9.0)
-    include_input: bool = flax.struct.field(pytree_node=False, default=True)
-
-    @property
-    def dim(self) -> int:
-        return nerf_encoding_dim(self.xyz.shape[-1], self.num_frequencies,
-                                 self.include_input)
-
-    @property
-    def shape(self):
-        return (*self.xyz.shape[:-1], self.dim)
-
-    def materialize(self) -> jax.Array:
-        return nerf_positional_encoding(
-            self.xyz, self.num_frequencies, self.min_freq_exp,
-            self.max_freq_exp, self.include_input)
 
 
 # Hard-coded real SH basis constants (degree <= 3, i.e. 4 levels / 16 coeffs),

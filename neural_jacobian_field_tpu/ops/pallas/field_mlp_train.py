@@ -73,31 +73,6 @@ def _dot_at(a, g):
     )
 
 
-def _pe_tile(xyz, pe_cfg):
-    """NeRF frequency encoding computed IN-KERNEL from raw camera-space
-    coords (f32 — the sine arguments exceed bf16 precision at high
-    frequencies). Layout bit-matches ops/encodings.nerf_positional_encoding:
-    [sin(2pi x_d 2^f) x-major | cos(...) | xyz]. Computing it here means the
-    [N, 2dF(+d)] encoding never exists in HBM (~1.8 ms of sine fusions +
-    3x [N, 63] kernel reads per step at reference shapes, trace r3)."""
-    import math as _math
-
-    num_freq, min_exp, max_exp, include_input = pe_cfg
-    d = xyz.shape[-1]
-    xf = xyz.astype(jnp.float32)
-    # Mosaic kernels cannot capture array constants — synthesize the
-    # frequency row from an iota instead (2^linspace(min, max, F)).
-    step = (max_exp - min_exp) / (num_freq - 1) if num_freq > 1 else 0.0
-    fexp = jax.lax.broadcasted_iota(jnp.float32, (1, num_freq), 1)
-    frow = (2.0 * _math.pi) * jnp.exp2(min_exp + step * fexp)
-    scaled = jnp.concatenate([xf[:, i:i + 1] * frow for i in range(d)], axis=1)
-    enc = jnp.sin(jnp.concatenate(
-        [scaled, scaled + 0.5 * _math.pi], axis=1))
-    if include_input:
-        enc = jnp.concatenate([enc, xf], axis=1)
-    return enc.astype(jnp.bfloat16)
-
-
 def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash,
                   tz=None):
     """Shared forward chain. Returns the final pre-activation x; if `stash`,
@@ -138,8 +113,7 @@ def _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks, n_lin_z, dh, stash,
     return x, saved
 
 
-def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False,
-                     pe_cfg=None):
+def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
     def kernel(*refs):
         it = iter(refs)
         if tz_mode:
@@ -157,8 +131,7 @@ def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False,
         wout, bout = next(it)[:], next(it)[:]
         out_ref = next(it)
 
-        x_pe = _pe_tile(x_ref[:], pe_cfg) if pe_cfg is not None else x_ref[:]
-        x, _ = _forward_tile([z[:] for z in z_refs], x_pe, win, bin_,
+        x, _ = _forward_tile([z[:] for z in z_refs], x_ref[:], win, bin_,
                              wzs, bz, blocks, n_lin_z, dh, stash=False,
                              tz=tz_ref[:] if tz_mode else None)
         out_ref[:] = _dot(jnp.maximum(x, 0.0), wout) + bout
@@ -166,8 +139,7 @@ def _make_fwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False,
     return kernel
 
 
-def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False,
-                     pe_cfg=None):
+def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False):
     def kernel(*refs):
         it = iter(refs)
         if tz_mode:
@@ -219,8 +191,6 @@ def _make_bwd_kernel(n_blocks, n_lin_z, dh, n_levels, tz_mode=False,
 
         zs = [z[:] for z in z_refs]
         x_pe, g = x_ref[:], g_ref[:]
-        if pe_cfg is not None:
-            x_pe = _pe_tile(x_pe, pe_cfg)
         x_last, saved = _forward_tile(zs, x_pe, win, bin_, wzs, bz, blocks,
                                       n_lin_z, dh, stash=True,
                                       tz=tz_ref[:] if tz_mode else None)
@@ -302,9 +272,9 @@ def _whole(arr_shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def fused_resnet_fc_train(params, cfg: MlpCfg, z, x, d_out: int,
-                          interpret: bool = False, pe_cfg=None):
+                          interpret: bool = False):
     """ResnetFC trunk, fused fwd+bwd. params: the Flax param dict of
     models/resnet_fc.py. z [..., d_latent] OR a tuple of per-level arrays
     whose last dims sum to d_latent (the pyramid's fine/mid/coarse features
@@ -312,12 +282,8 @@ def fused_resnet_fc_train(params, cfg: MlpCfg, z, x, d_out: int,
     blocks, so the [N, 512] concat and its backward split never hit HBM;
     trace r3: 2x1.27 ms concat + 2.1 ms split at the reference shape).
     x [..., d_in] -> [..., d_out] f32. Differentiable wrt params and z
-    (x gets a zero cotangent).
-
-    pe_cfg: (num_frequencies, min_freq_exp, max_freq_exp, include_input) —
-    when set, x is the RAW [..., d] f32 camera-space coords and the kernels
-    compute the frequency encoding in VMEM (_pe_tile)."""
-    out, _ = _k7_fwd(params, cfg, z, x, d_out, interpret, pe_cfg)
+    (x gets a zero cotangent)."""
+    out, _ = _k7_fwd(params, cfg, z, x, d_out, interpret)
     return out
 
 
@@ -332,7 +298,7 @@ def _as_levels(z):
     return list(z) if isinstance(z, (tuple, list)) else [z]
 
 
-def _k7_fwd(params, cfg, z, x, d_out, interpret, pe_cfg=None):
+def _k7_fwd(params, cfg, z, x, d_out, interpret):
     interpret = interpret or jax.default_backend() != "tpu"
     zs = _as_levels(z)
     lead = zs[0].shape[:-1]
@@ -354,12 +320,12 @@ def _k7_fwd(params, cfg, z, x, d_out, interpret, pe_cfg=None):
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
-    xp = _pad_rows(x2.astype(jnp.float32 if pe_cfg else jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs), pe_cfg=pe_cfg),
+        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs)),
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(d) for d in z_dims] + [point(dx_dim)]
         + [_whole(w.shape) for w in weights],
@@ -371,7 +337,7 @@ def _k7_fwd(params, cfg, z, x, d_out, interpret, pe_cfg=None):
     return out, (params, z, x)
 
 
-def _k7_bwd(cfg, d_out, interpret, pe_cfg, res, g):
+def _k7_bwd(cfg, d_out, interpret, res, g):
     params, z, x = res
     interpret = interpret or jax.default_backend() != "tpu"
     zs = _as_levels(z)
@@ -394,7 +360,7 @@ def _k7_bwd(cfg, d_out, interpret, pe_cfg, res, g):
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
-    xp = _pad_rows(x2.astype(jnp.float32 if pe_cfg else jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
     gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
     if do_pad != d_out:
         gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
@@ -412,7 +378,7 @@ def _k7_bwd(cfg, d_out, interpret, pe_cfg, res, g):
         grad_specs.append(_whole(wgt.shape))
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs), pe_cfg=pe_cfg),
+        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs)),
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(d) for d in z_dims] + [point(dx_dim), point(do_pad)]
         + [_whole(w.shape) for w in weights],
@@ -451,7 +417,10 @@ def _k7_bwd(cfg, d_out, interpret, pe_cfg, res, g):
     return dparams, dz, jnp.zeros_like(x)
 
 
-fused_resnet_fc_train.defvjp(_k7_fwd, _k7_bwd)
+fused_resnet_fc_train.defvjp(
+    lambda params, cfg, z, x, d_out, interpret: _k7_fwd(params, cfg, z, x, d_out, interpret),
+    lambda cfg, d_out, interpret, res, g: _k7_bwd(cfg, d_out, interpret, res, g),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -465,20 +434,20 @@ fused_resnet_fc_train.defvjp(_k7_fwd, _k7_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def fused_resnet_fc_train_tz(params, cfg: MlpCfg, tz, x, d_out: int,
-                             interpret: bool = False, pe_cfg=None):
+                             interpret: bool = False):
     """ResnetFC trunk with precomputed latent injections.
 
     tz [..., n_lin_z*d_hidden] — lin_z(z) WITHOUT bias, summed per block
     slice (the bias adds in-kernel). x [..., d_in] -> [..., d_out] f32.
     Differentiable wrt params (lin_z: bias only) and tz; x gets a zero
-    cotangent. pe_cfg: see fused_resnet_fc_train."""
-    out, _ = _k7tz_fwd(params, cfg, tz, x, d_out, interpret, pe_cfg)
+    cotangent."""
+    out, _ = _k7tz_fwd(params, cfg, tz, x, d_out, interpret)
     return out
 
 
-def _k7tz_fwd(params, cfg, tz, x, d_out, interpret, pe_cfg=None):
+def _k7tz_fwd(params, cfg, tz, x, d_out, interpret):
     interpret = interpret or jax.default_backend() != "tpu"
     lead = tz.shape[:-1]
     tz_dim, dx_dim = tz.shape[-1], x.shape[-1]
@@ -498,13 +467,12 @@ def _k7tz_fwd(params, cfg, tz, x, d_out, interpret, pe_cfg=None):
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
-    xp = _pad_rows(x2.astype(jnp.float32 if pe_cfg else jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True,
-                         pe_cfg=pe_cfg),
+        _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(tz_dim), point(dx_dim)] + [_whole(w.shape) for w in weights],
         out_specs=point(do_pad),
@@ -515,7 +483,7 @@ def _k7tz_fwd(params, cfg, tz, x, d_out, interpret, pe_cfg=None):
     return out, (params, tz, x)
 
 
-def _k7tz_bwd(cfg, d_out, interpret, pe_cfg, res, g):
+def _k7tz_bwd(cfg, d_out, interpret, res, g):
     params, tz, x = res
     interpret = interpret or jax.default_backend() != "tpu"
     lead = tz.shape[:-1]
@@ -536,7 +504,7 @@ def _k7tz_bwd(cfg, d_out, interpret, pe_cfg, res, g):
         weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
-    xp = _pad_rows(x2.astype(jnp.float32 if pe_cfg else jnp.bfloat16), n_pad)
+    xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
     gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
     if do_pad != d_out:
         gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
@@ -550,8 +518,7 @@ def _k7tz_bwd(cfg, d_out, interpret, pe_cfg, res, g):
         grad_specs.append(_whole(wgt.shape))
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True,
-                         pe_cfg=pe_cfg),
+        _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(tz_dim), point(dx_dim), point(do_pad)]
         + [_whole(w.shape) for w in weights],
@@ -583,4 +550,7 @@ def _k7tz_bwd(cfg, d_out, interpret, pe_cfg, res, g):
     return dparams, dtz, jnp.zeros_like(x)
 
 
-fused_resnet_fc_train_tz.defvjp(_k7tz_fwd, _k7tz_bwd)
+fused_resnet_fc_train_tz.defvjp(
+    lambda params, cfg, tz, x, d_out, interpret: _k7tz_fwd(params, cfg, tz, x, d_out, interpret),
+    lambda cfg, d_out, interpret, res, g: _k7tz_bwd(cfg, d_out, interpret, res, g),
+)

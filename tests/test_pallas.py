@@ -167,77 +167,3 @@ def test_fused_resnet_fc_train_parity():
     assert any(k.startswith("lin_z_") and k.endswith("bias") for k in fd)
     for k in fd:
         assert frob_rel(fd[k], fb[k]) < 0.02, (k, frob_rel(fd[k], fb[k]))
-
-
-def test_fused_resnet_fc_train_pe_mode():
-    """PE-in-kernel (interpret mode): _pe_tile bit-matches
-    nerf_positional_encoding's layout (up to the kernel's bf16 cast), and
-    the pe_cfg kernel path reproduces the materialized-x path — forward and
-    every gradient (the PE input's cotangent is zero by design)."""
-    import flax.traverse_util as tu
-    from neural_jacobian_field_tpu.models.resnet_fc import MlpCfg
-    from neural_jacobian_field_tpu.ops.encodings import nerf_positional_encoding
-    from neural_jacobian_field_tpu.ops.pallas.field_mlp_train import (
-        _pe_tile, fused_resnet_fc_train,
-    )
-
-    F = 10
-    pe_cfg = (F, 0.0, F - 1.0, True)
-    xyz = jax.random.normal(jax.random.PRNGKey(0), (64, 3)) * 1.5
-    ref = nerf_positional_encoding(xyz, F, 0.0, F - 1.0, True)
-    got = _pe_tile(xyz, pe_cfg)
-    np.testing.assert_allclose(np.asarray(got, np.float32),
-                               np.asarray(ref.astype(jnp.bfloat16), np.float32),
-                               rtol=2e-2, atol=2e-2)
-
-    cfg = MlpCfg(n_blocks=3, d_hidden=128, combine_layer=2)
-    n, dz, dout = 700, 256, 16
-    z = jax.random.normal(jax.random.PRNGKey(1), (n, dz))
-    cam_xyz = jax.random.normal(jax.random.PRNGKey(2), (n, 3)) * 1.5
-    g = jax.random.normal(jax.random.PRNGKey(3), (n, dout))
-    from neural_jacobian_field_tpu.models.resnet_fc import ResnetFC
-
-    x_mat = nerf_positional_encoding(cam_xyz, F, 0.0, F - 1.0, True)
-    trunk = ResnetFC(cfg=cfg, d_out=dout, d_latent=dz, compute_dtype=jnp.bfloat16)
-    params = trunk.init(jax.random.PRNGKey(4), z, x_mat)["params"]
-
-    base = fused_resnet_fc_train(params, cfg, z, x_mat, dout, True)
-    pe = fused_resnet_fc_train(params, cfg, z, cam_xyz, dout, True, pe_cfg)
-    np.testing.assert_allclose(np.asarray(pe), np.asarray(base),
-                               rtol=3e-2, atol=3e-2)
-
-    def frob_rel(a, b):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
-
-    def base_fn(p, z):
-        return jnp.sum(fused_resnet_fc_train(p, cfg, z, x_mat, dout, True) * g)
-
-    def pe_fn(p, z):
-        return jnp.sum(
-            fused_resnet_fc_train(p, cfg, z, cam_xyz, dout, True, pe_cfg) * g)
-
-    (dp_a, dz_a) = jax.grad(base_fn, argnums=(0, 1))(params, z)
-    (dp_b, dz_b) = jax.grad(pe_fn, argnums=(0, 1))(params, z)
-    assert frob_rel(dz_b, dz_a) < 0.02, frob_rel(dz_b, dz_a)
-    fa, fb = tu.flatten_dict(dp_a, sep="/"), tu.flatten_dict(dp_b, sep="/")
-    for k in fa:
-        assert frob_rel(fb[k], fa[k]) < 0.03, (k, frob_rel(fb[k], fa[k]))
-
-    # xyz cotangent is structurally zero
-    dxyz = jax.grad(
-        lambda c: jnp.sum(
-            fused_resnet_fc_train(params, cfg, z, c, dout, True, pe_cfg) * g)
-    )(cam_xyz)
-    assert float(jnp.max(jnp.abs(dxyz))) == 0.0
-
-    # LazyPositionalEncoding on the XLA (unfused) path materializes to the
-    # eager result exactly
-    from neural_jacobian_field_tpu.ops.encodings import LazyPositionalEncoding
-
-    lazy = LazyPositionalEncoding(xyz=cam_xyz, num_frequencies=F,
-                                  min_freq_exp=0.0, max_freq_exp=F - 1.0,
-                                  include_input=True)
-    out_lazy, _ = trunk.apply({"params": params}, z, lazy)
-    out_eager, _ = trunk.apply({"params": params}, z, x_mat)
-    np.testing.assert_allclose(np.asarray(out_lazy), np.asarray(out_eager))

@@ -30,8 +30,7 @@ def _flagship():
                                    num_nerf_samples=256,
                                    pixel_feature_mode="epipolar",
                                    use_pallas_pdf=True,
-                                   use_fused_trunk=True,
-                                   fuse_positional_encoding=True),
+                                   use_fused_trunk=True),
             encoder=EncoderResnetCfg(norm_type="batch"),
         ),
         compute_dtype=jnp.bfloat16,
