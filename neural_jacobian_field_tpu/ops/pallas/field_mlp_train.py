@@ -310,14 +310,11 @@ def _k7_fwd(params, cfg, z, x, d_out, interpret):
     n_pad = _round_up(n, POINT_TILE)
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     dh = cfg.d_hidden
-    do_pad = _round_up(d_out, 128)
 
+    # lin_out stays at its true d_out lane width (16/24 for the heads):
+    # Mosaic pads narrow lanes inside VMEM, and writing [N, d_out] instead
+    # of a 128-padded f32 block saves ~200 MB/call of HBM at ref shapes.
     weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, z_dims)
-    # pad lin_out to 128 lanes
-    wout, bout = weights[-2], weights[-1]
-    if do_pad != d_out:
-        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
-        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
@@ -329,11 +326,11 @@ def _k7_fwd(params, cfg, z, x, d_out, interpret):
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(d) for d in z_dims] + [point(dx_dim)]
         + [_whole(w.shape) for w in weights],
-        out_specs=point(do_pad),
-        out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
+        out_specs=point(d_out),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
         interpret=interpret,
     )(*zps, xp, *weights)
-    out = out[:n, :d_out].reshape(*lead, d_out)
+    out = out[:n].reshape(*lead, d_out)
     return out, (params, z, x)
 
 
@@ -351,19 +348,12 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
     n_pad = _round_up(n, POINT_TILE)
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     dh = cfg.d_hidden
-    do_pad = _round_up(d_out, 128)
 
     weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, z_dims)
-    wout, bout = weights[-2], weights[-1]
-    if do_pad != d_out:
-        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
-        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     zps = [_pad_rows(z2.astype(jnp.bfloat16), n_pad) for z2 in z2s]
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
     gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
-    if do_pad != d_out:
-        gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
@@ -380,7 +370,7 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
     outs = pl.pallas_call(
         _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, len(zs)),
         grid=(n_pad // POINT_TILE,),
-        in_specs=[point(d) for d in z_dims] + [point(dx_dim), point(do_pad)]
+        in_specs=[point(d) for d in z_dims] + [point(dx_dim), point(d_out)]
         + [_whole(w.shape) for w in weights],
         out_specs=grad_specs,
         out_shape=grad_shapes,
@@ -409,7 +399,7 @@ def _k7_bwd(cfg, d_out, interpret, res, g):
         dparams[f"blocks_{i}_fc_0"] = {"kernel": dw0, "bias": unb(db0)}
         dparams[f"blocks_{i}_fc_1"] = {"kernel": dw1, "bias": unb(db1)}
     dwout, dbout = next(it), next(it)
-    dparams["lin_out"] = {"kernel": dwout[:, :d_out], "bias": unb(dbout)[:d_out]}
+    dparams["lin_out"] = {"kernel": dwout, "bias": unb(dbout)}
 
     # params may be f32: cast grads to the param dtypes
     dparams = jax.tree.map(lambda p, gr: gr.astype(p.dtype), dict(params), dparams)
@@ -458,13 +448,8 @@ def _k7tz_fwd(params, cfg, tz, x, d_out, interpret):
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     assert tz_dim == n_lin_z * cfg.d_hidden, (tz_dim, n_lin_z, cfg.d_hidden)
     dh = cfg.d_hidden
-    do_pad = _round_up(d_out, 128)
 
     weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, None)
-    wout, bout = weights[-2], weights[-1]
-    if do_pad != d_out:
-        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
-        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
@@ -475,11 +460,11 @@ def _k7tz_fwd(params, cfg, tz, x, d_out, interpret):
         _make_fwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
         grid=(n_pad // POINT_TILE,),
         in_specs=[point(tz_dim), point(dx_dim)] + [_whole(w.shape) for w in weights],
-        out_specs=point(do_pad),
-        out_shape=jax.ShapeDtypeStruct((n_pad, do_pad), jnp.float32),
+        out_specs=point(d_out),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
         interpret=interpret,
     )(tzp, xp, *weights)
-    out = out[:n, :d_out].reshape(*lead, d_out)
+    out = out[:n].reshape(*lead, d_out)
     return out, (params, tz, x)
 
 
@@ -495,19 +480,12 @@ def _k7tz_bwd(cfg, d_out, interpret, res, g):
     n_pad = _round_up(n, POINT_TILE)
     n_lin_z = min(cfg.combine_layer, cfg.n_blocks)
     dh = cfg.d_hidden
-    do_pad = _round_up(d_out, 128)
 
     weights = _collect_weights(params, cfg, n_lin_z, jnp.bfloat16, None)
-    wout, bout = weights[-2], weights[-1]
-    if do_pad != d_out:
-        weights[-2] = jnp.pad(wout, ((0, 0), (0, do_pad - d_out)))
-        weights[-1] = jnp.pad(bout, ((0, 0), (0, do_pad - d_out)))
 
     tzp = _pad_rows(tz2.astype(jnp.bfloat16), n_pad)
     xp = _pad_rows(x2.astype(jnp.bfloat16), n_pad)
     gp = _pad_rows(g2.astype(jnp.bfloat16), n_pad)
-    if do_pad != d_out:
-        gp = jnp.pad(gp, ((0, 0), (0, do_pad - d_out)))
 
     point = lambda d: pl.BlockSpec((POINT_TILE, d), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
@@ -520,7 +498,7 @@ def _k7tz_bwd(cfg, d_out, interpret, res, g):
     outs = pl.pallas_call(
         _make_bwd_kernel(cfg.n_blocks, n_lin_z, dh, 0, tz_mode=True),
         grid=(n_pad // POINT_TILE,),
-        in_specs=[point(tz_dim), point(dx_dim), point(do_pad)]
+        in_specs=[point(tz_dim), point(dx_dim), point(d_out)]
         + [_whole(w.shape) for w in weights],
         out_specs=grad_specs,
         out_shape=grad_shapes,
@@ -545,7 +523,7 @@ def _k7tz_bwd(cfg, d_out, interpret, res, g):
         dparams[f"blocks_{i}_fc_0"] = {"kernel": dw0, "bias": unb(db0)}
         dparams[f"blocks_{i}_fc_1"] = {"kernel": dw1, "bias": unb(db1)}
     dwout, dbout = next(it), next(it)
-    dparams["lin_out"] = {"kernel": dwout[:, :d_out], "bias": unb(dbout)[:d_out]}
+    dparams["lin_out"] = {"kernel": dwout, "bias": unb(dbout)}
     dparams = jax.tree.map(lambda p, gr: gr.astype(p.dtype), dict(params), dparams)
     return dparams, dtz, jnp.zeros_like(x)
 
