@@ -128,36 +128,59 @@ def collate_2d(items: List[dict]) -> Dict[str, np.ndarray]:
 def make_synthetic_trajectories(
     root, num_trajs: int = 4, num_steps: int = 6, height: int = 32,
     width: int = 32, command_dim: int = 2, seed: int = 0, stage: str = "train",
+    scene: str = "pusher",
 ) -> Path:
-    """Synthetic 2D pusher stand-in: a bright square whose position IS the
-    qpos; flow is the square's rigid pixel displacement. Ground-truth Jacobian
-    is constant on the square (= gain) and zero elsewhere — the analog of the
-    MuJoCo data-gen in tutorial notebook 1."""
+    """Synthetic 2D data writer — the analog of the MuJoCo data-gen in the
+    tutorial notebooks (the sim is a git submodule absent from the mount).
+
+    scene="pusher": a bright square whose position IS the qpos; flow is the
+    square's rigid pixel displacement. Ground-truth Jacobian is constant on
+    the square (= gain) and zero elsewhere (notebook 1).
+
+    scene="planar_hand": two "fingertip" squares, one driven by q[0:2], the
+    other by q[2:4] (command_dim forced to 4) — the block-structured-Jacobian
+    analog of the finger scene in notebook 2: each body responds only to its
+    own joints."""
     root = Path(root)
     (root / stage).mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
-    gain = np.array([width * 0.25, height * 0.25], np.float32)
+    if scene == "planar_hand":
+        command_dim = 4
     half = 4
 
+    def render_square(img, mask_all, q2, color, x_lo, x_hi):
+        """One square constrained to the horizontal band [x_lo, x_hi)."""
+        cx = int((q2[0] * 0.5 + 0.5) * (x_hi - x_lo - 2 * half)) + x_lo + half
+        cy = int((q2[1] * 0.5 + 0.5) * (height - 2 * half)) + half
+        img[cy - half:cy + half, cx - half:cx + half] = color
+        m = np.zeros((height, width), bool)
+        m[cy - half:cy + half, cx - half:cx + half] = True
+        mask_all.append(m)
+        return np.array([cx, cy], np.float32)
+
     def render(q):
-        cx = int((q[0] * 0.5 + 0.5) * (width - 2 * half)) + half
-        cy = int((q[1 % len(q)] * 0.5 + 0.5) * (height - 2 * half)) + half
-        img = np.zeros((height, width, 3), np.float32)
-        img[...] = 0.15
-        img[cy - half:cy + half, cx - half:cx + half] = [0.9, 0.4, 0.2]
-        mask = np.zeros((height, width), bool)
-        mask[cy - half:cy + half, cx - half:cx + half] = True
-        return img, mask, np.array([cx, cy], np.float32)
+        img = np.full((height, width, 3), 0.15, np.float32)
+        masks, centers = [], []
+        if scene == "planar_hand":
+            centers.append(render_square(img, masks, q[0:2], [0.9, 0.4, 0.2],
+                                         0, width // 2))
+            centers.append(render_square(img, masks, q[2:4], [0.2, 0.5, 0.9],
+                                         width // 2, width))
+        else:
+            centers.append(render_square(img, masks, q[:2], [0.9, 0.4, 0.2],
+                                         0, width))
+        return img, masks, centers
 
     for traj_idx in range(num_trajs):
         q = rng.uniform(-0.6, 0.6, command_dim)
         rgbs, flows, qposs = [], [], []
         for _ in range(num_steps):
-            img, mask, c0 = render(q)
+            img, masks, c0 = render(q)
             q_next = np.clip(q + rng.normal(0, 0.12, command_dim), -0.8, 0.8)
             _, _, c1 = render(q_next)
             flow = np.zeros((height, width, 2), np.float32)
-            flow[mask] = c1 - c0
+            for m, a, b in zip(masks, c0, c1):
+                flow[m] = b - a
             rgbs.append(img)
             flows.append(flow)
             qposs.append(q.copy())

@@ -29,22 +29,38 @@ class TrainState2D:
     opt_state: Any
 
 
-def make_optimizer_2d(cfg: Train2DCfg):
+def make_optimizer_2d(cfg: Train2DCfg, params=None):
     schedule = optax.linear_schedule(
         init_value=cfg.lr / max(cfg.warm_up_steps, 1), end_value=cfg.lr,
         transition_steps=cfg.warm_up_steps,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(schedule),
     )
+    if params is None:
+        return tx
+    # The transformer model's DINO backbone is FROZEN (the reference never
+    # puts it in the optimizer, transformer_jacobian.py:55-57). Its grads are
+    # already structurally zero (stop_gradient in get_features), but
+    # add_decayed_weights would still decay the weights — mask the whole
+    # update for any `dino` subtree.
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params)
+    if not any("dino" in k for k in flat):
+        return tx
+    labels = tu.unflatten_dict({
+        k: ("frozen" if "dino" in k else "trainable") for k in flat})
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, labels)
 
 
 def create_train_state_2d(key, model, sample_batch, cfg: Train2DCfg) -> TrainState2D:
     params = model.init(key, jnp.asarray(sample_batch["input_frame_curr"]),
                         jnp.asarray(sample_batch["input_command"]))["params"]
-    tx = make_optimizer_2d(cfg)
+    tx = make_optimizer_2d(cfg, params)
     return TrainState2D(step=jnp.asarray(0, jnp.int32), params=params,
                         opt_state=tx.init(params))
 
@@ -60,7 +76,7 @@ def make_train_step_2d(model, cfg: Train2DCfg, donate: bool = True):
             return jnp.mean((out.flow - batch["trgt_flow_curr"]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        tx = make_optimizer_2d(cfg)
+        tx = make_optimizer_2d(cfg, state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -168,3 +168,53 @@ def test_planar_hand_variant_with_resize(tmp_path):
         lN = float(m["train/loss"])
         l0 = l0 if l0 is not None else lN
     assert np.isfinite(lN) and lN < l0
+
+
+def test_transformer_dino_params_bit_frozen(traj_root):
+    """Reference parity: the DINO backbone never enters the optimizer
+    (transformer_jacobian.py:55-57). stop_gradient zeroes its grads, and the
+    optimizer mask must ALSO exclude it from weight decay — the params must
+    be bit-identical after training."""
+    import flax.traverse_util as tu
+
+    ds = Dataset2D(Dataset2DCfg(name="pusher", root=traj_root), "train")
+    model = TransformerJacobianField(cfg=TransformerJacobianFieldCfg(
+        vit=ViTCfg(patch_size=8, dim=32, depth=1, heads=2, pos_grid=4),
+        decoder_depth=2))
+    batch = collate_2d([ds[i] for i in range(4)])
+    cfg = Train2DCfg(lr=3e-3, weight_decay=1e-2, warm_up_steps=2)
+    state = create_train_state_2d(jax.random.PRNGKey(0), model, batch, cfg)
+    before = tu.flatten_dict(jax.tree.map(np.asarray, state.params))
+    step = make_train_step_2d(model, cfg, donate=False)
+    for _ in range(5):
+        state, _ = step(state, batch)
+    after = tu.flatten_dict(jax.tree.map(np.asarray, state.params))
+    for k in before:
+        path = "/".join(map(str, k))
+        if "dino" in path:
+            assert np.array_equal(before[k], after[k]), path
+    assert any(not np.array_equal(before[k], after[k]) for k in before
+               if "decoder" in "/".join(map(str, k)))
+
+
+def test_planar_hand_synthetic_scene():
+    """scene="planar_hand": two bodies, block-structured ground truth — each
+    fingertip's flow responds only to its own 2 joints."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        root = make_synthetic_trajectories(
+            d, num_trajs=2, num_steps=6, height=48, width=48,
+            scene="planar_hand")
+        ds = Dataset2D(Dataset2DCfg(name="planar_hand", command_dim=4,
+                                    root=root), "train")
+        item = ds[0]
+        assert item["input_command"].shape == (4,)
+        # both halves of the image contain a body at some step, and flow is
+        # nonzero somewhere on each side across the dataset
+        left = right = False
+        for i in range(len(ds)):
+            f = ds[i]["trgt_flow_curr"]
+            left = left or np.abs(f[:, :24]).max() > 0
+            right = right or np.abs(f[:, 24:]).max() > 0
+        assert left and right
