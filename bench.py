@@ -197,7 +197,7 @@ def bench_train_action_tracks():
 
 
 def bench_render():
-    from neural_jacobian_field_tpu.inference import render_camera_host_loop
+    from neural_jacobian_field_tpu.inference import render_camera
     from neural_jacobian_field_tpu.training import (
         TrainCfg, create_train_state, prepare_training_batch,
     )
@@ -212,9 +212,10 @@ def bench_render():
     h, w = IMAGE_HW
 
     def run(seed):
-        # host-loop patches (2048 rays, model.py:533); the one-jit
-        # render_camera is profiled separately in benchmarks/RESULTS.md
-        return render_camera_host_loop(
+        # one-jit whole-image program (lax.map over 2048-ray chunks inside
+        # ONE compile) — measured 9% faster than the reference-style
+        # host-loop at r3 HEAD (benchmarks/render_profile.py)
+        return render_camera(
             model, variables, mi.camera_input, mi.robot_input, z_near=0.5,
             z_far=10.0, height=h, width=w, patch_size=2048,
             key=jax.random.PRNGKey(seed))
@@ -228,7 +229,7 @@ def bench_render():
     _sync(out.rgb)
     per = (time.perf_counter() - t0) / k
     _emit("render_rays_per_sec", h * w / per,
-          f"rays/s (whole-image {h}x{w}, 192 samples, 2048-ray patches)")
+          f"rays/s (whole-image {h}x{w}, 192 samples, one-jit)")
 
 
 def _encoding_setup(rays, samples):

@@ -75,6 +75,8 @@ def main():
     state = create_train_state(key, model, raw,
                                TrainCfg(mode="perception", rays_per_batch=64))
     variables = {"params": state.params}
+    if state.batch_stats is not None:  # BatchNorm encoder: eval-mode stats
+        variables["batch_stats"] = state.batch_stats
     mi, _ = prepare_training_batch(jax.random.PRNGKey(1), raw, 64)
 
     def bench(name, fn, k=3):
