@@ -96,6 +96,10 @@ def main():
     ap.add_argument("--action-dim", type=int, default=3)
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--num-views", type=int, default=6)
+    ap.add_argument("--norm", default="batch", choices=["batch", "group"],
+                    help="MUST match the trained encoder (the production "
+                         "configs use batch; a mismatched norm applies the "
+                         "checkpoint's scale/bias under the wrong statistic)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -124,7 +128,7 @@ def main():
         "jacobian_mlp", action_dim=args.action_dim,
         rendering=RenderingCfg(num_proposal_samples=(args.samples,),
                                num_nerf_samples=args.samples),
-        encoder=EncoderResnetCfg(norm_type="group"),
+        encoder=EncoderResnetCfg(norm_type=args.norm),
     ), compute_dtype=jnp.bfloat16)
 
     # init template params via one tiny init, then restore the checkpoint
@@ -144,6 +148,15 @@ def main():
                                TrainCfg(mode="perception", rays_per_batch=8))
     params = load_params_only(args.ckpt, state.params)
     variables = {"params": params}
+    if state.batch_stats is not None:
+        # BatchNorm eval mode reads the RUNNING stats — rendering with fresh
+        # (zero-mean/unit-var) stats silently costs ~15 dB of PSNR
+        from neural_jacobian_field_tpu.training.checkpoint import (
+            load_batch_stats,
+        )
+
+        variables["batch_stats"] = load_batch_stats(args.ckpt,
+                                                    state.batch_stats)
 
     metrics = evaluate_scene(model, variables, ds, num_views=args.num_views,
                              action_dim=args.action_dim)

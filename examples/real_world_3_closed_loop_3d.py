@@ -85,6 +85,10 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), model, raw,
                                TrainCfg(mode="perception", rays_per_batch=8))
     variables = {"params": load_params_only(args.ckpt, state.params)}
+    if state.batch_stats is not None:  # batch-norm encoders: running stats
+        from neural_jacobian_field_tpu.training.checkpoint import load_batch_stats
+
+        variables["batch_stats"] = load_batch_stats(args.ckpt, state.batch_stats)
 
     span = ds.qpos_maximum - ds.qpos_minimum
 

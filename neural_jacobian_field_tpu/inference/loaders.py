@@ -83,6 +83,13 @@ def load_model(config_dir, checkpoint_path: Optional[str] = None,
         params = load_params_only(checkpoint_path, template["params"])
         variables = dict(template)
         variables["params"] = params
+        if "batch_stats" in template:
+            # eval-mode BatchNorm reads the running stats; fresh stats cost
+            # ~15 dB of render PSNR (training/checkpoint.py::load_batch_stats)
+            from ..training.checkpoint import load_batch_stats
+
+            variables["batch_stats"] = load_batch_stats(
+                checkpoint_path, template["batch_stats"])
     return model, variables
 
 

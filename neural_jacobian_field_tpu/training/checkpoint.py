@@ -61,3 +61,19 @@ def load_params_only(path, template_params, step: Optional[int] = None):
         restored = mgr.restore(step, args=ocp.args.StandardRestore())
     loaded = restored["params"] if isinstance(restored, dict) else restored.params
     return merge_compatible_params(template_params, loaded)
+
+
+def load_batch_stats(path, template_stats, step: Optional[int] = None):
+    """Restore the BatchNorm running-stats collection (shape-tolerantly);
+    returns `template_stats` unchanged if the checkpoint carries none.
+    Eval-mode BatchNorm reads these — rendering a batch-norm model with
+    freshly-initialized stats silently degrades renders by ~15 dB PSNR."""
+    path = Path(path).absolute()
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step() if step is None else step
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    loaded = restored.get("batch_stats") if isinstance(restored, dict) else (
+        getattr(restored, "batch_stats", None))
+    if loaded is None:
+        return template_stats
+    return merge_compatible_params(template_stats, loaded)

@@ -93,3 +93,40 @@ def test_merge_compatible_params_warns_on_total_mismatch(capsys):
     merged = merge_compatible_params(template, {"x": {"w": np.ones(1)}})
     np.testing.assert_array_equal(merged["a"]["w"], np.zeros((2, 2)))
     assert "matched NOTHING" in capsys.readouterr().out
+
+
+def test_batch_stats_restore(tmp_path):
+    """BatchNorm encoders: eval-mode apply reads the RUNNING stats — a loader
+    that restores params but leaves fresh batch_stats silently costs ~15 dB
+    of render PSNR (found via benchmarks/eval_synthetic on a CLI-trained
+    checkpoint). load_batch_stats must round-trip the trained collection."""
+    from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
+    from neural_jacobian_field_tpu.models.model import Model, RenderingCfg, make_model_cfg
+    from neural_jacobian_field_tpu.training.checkpoint import load_batch_stats
+    from tests.test_training import ACTION_DIM
+
+    model = Model(cfg=make_model_cfg(
+        "jacobian_mlp", action_dim=ACTION_DIM,
+        rendering=RenderingCfg(num_proposal_samples=(6,), num_nerf_samples=5,
+                               proposal_warmup=10, proposal_update_every=2),
+        encoder=EncoderResnetCfg(norm_type="batch", num_layers=2),
+    ))
+    cfg = TrainCfg(mode="perception", rays_per_batch=16, warm_up_steps=5)
+    raw = tiny_batch(jax.random.PRNGKey(0))
+    state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+    assert state.batch_stats is not None
+    step = make_train_step(model, cfg, donate=False)
+    for i in range(3):
+        state, _ = step(state, raw, jax.random.PRNGKey(5 + i))
+
+    mgr = CheckpointManager(tmp_path / "ckpt", save_interval_steps=1)
+    assert mgr.maybe_save(state)
+    mgr.wait()
+    fresh = jax.tree.map(jnp.zeros_like, state.batch_stats)
+    restored = load_batch_stats(tmp_path / "ckpt", fresh)
+    leaves_t = jax.tree.leaves(state.batch_stats)
+    leaves_r = jax.tree.leaves(restored)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves_t), "stats never moved"
+    for a, b in zip(leaves_t, leaves_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
