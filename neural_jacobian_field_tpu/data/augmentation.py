@@ -130,7 +130,10 @@ class CocoOccluderSource:
         img = Image.open(self.root / self.split / self.filenames[img_id]).convert("RGB")
         crop = img.crop((int(x_min), int(y_min), int(x_min + bw), int(y_min + bh)))
         if area > self.max_area:
-            # resize toward a random target area in [min, max)
+            # reference parity (image_augmentation.py:166-176): both axes
+            # scale LINEARLY by rand_threshold/area, so the resulting area is
+            # rand_threshold^2/area — quadratically smaller than the sampled
+            # threshold. That quirk is the reference's own; kept bit-for-bit.
             rand_threshold = np.random.randint(int(self.min_area), int(self.max_area))
             crop = crop.resize((max(1, int(bw * rand_threshold / area)),
                                 max(1, int(bh * rand_threshold / area))),
@@ -152,8 +155,17 @@ class RandomBackground:
         self.p = p
         self.overlay_threshold = overlay_threshold
         self.coco: Optional[CocoOccluderSource] = None
-        if coco_root is not None and Path(coco_root).exists():
-            self.coco = CocoOccluderSource(coco_root)
+        if coco_root is not None:
+            if Path(coco_root).exists():
+                self.coco = CocoOccluderSource(coco_root)
+            else:
+                # loud, not fatal: an unmounted volume shouldn't kill a long
+                # run, but silently training without the requested occluder
+                # augmentation would be worse
+                print(f"WARNING: coco_root={coco_root} does not exist — "
+                      "occluder augmentation falls back to "
+                      f"{'occluder_dir' if occluder_dir else 'DISABLED'}",
+                      flush=True)
         self.occluders: List[Path] = []
         if occluder_dir is not None:
             self.occluders = sorted(

@@ -66,6 +66,10 @@ class Dataset2D:
         self.trajectory_paths = sorted(Path(cfg.root, stage).glob("*.pkl"))
         if cfg.min_qpos is None or cfg.max_qpos is None:
             lo, hi = _DEFAULT_BOUNDS.get(cfg.name, (None, None))
+            # trim to command_dim so a 1-DoF pusher doesn't broadcast the
+            # 2-dim default bounds back into a 2-dim command
+            lo = None if lo is None else lo[: cfg.command_dim]
+            hi = None if hi is None else hi[: cfg.command_dim]
             self.min_qpos = lo if cfg.min_qpos is None else cfg.min_qpos
             self.max_qpos = hi if cfg.max_qpos is None else cfg.max_qpos
         else:
@@ -151,7 +155,9 @@ def make_synthetic_trajectories(
     def render_square(img, mask_all, q2, color, x_lo, x_hi):
         """One square constrained to the horizontal band [x_lo, x_hi)."""
         cx = int((q2[0] * 0.5 + 0.5) * (x_hi - x_lo - 2 * half)) + x_lo + half
-        cy = int((q2[1] * 0.5 + 0.5) * (height - 2 * half)) + half
+        # command_dim=1 pusher: y reuses q[0] (the square moves diagonally)
+        qy = q2[1] if len(q2) > 1 else q2[0]
+        cy = int((qy * 0.5 + 0.5) * (height - 2 * half)) + half
         img[cy - half:cy + half, cx - half:cx + half] = color
         m = np.zeros((height, width), bool)
         m[cy - half:cy + half, cx - half:cx + half] = True

@@ -61,7 +61,10 @@ class DevicePrefetcher:
     so the train loop never waits on host->device transfer."""
 
     def __init__(self, host_iter, mesh: Mesh, depth: int = 2,
-                 axis: str = DATA_AXIS):
+                 axis: str = DATA_AXIS, stacked: bool = False):
+        """stacked=True for `stack_batches` streams (steps_per_call>1):
+        leading axis is the [K] substep axis (replicated), batch is dim 1 —
+        sharding dim 0 over the mesh would split the substep axis."""
         import queue
         import threading
 
@@ -71,8 +74,9 @@ class DevicePrefetcher:
 
         def worker():
             try:
+                put = shard_stacked_batch if stacked else shard_batch
                 for batch in host_iter:
-                    staged = shard_batch(batch, mesh, axis)
+                    staged = put(batch, mesh, axis)
                     while not self._stop.is_set():
                         try:
                             self._q.put(staged, timeout=0.2)

@@ -27,8 +27,9 @@ from .config.common import PipelineCfg
 from .data import DataLoader, get_dataset
 from .models.model import Model
 from .parallel import DevicePrefetcher, make_mesh, replicate
-from .training import (TrainCfg, create_train_state, host_step_schedule,
-                       make_multi_train_step, make_train_step, stack_batches)
+from .training import (MultiStepDispatch, TrainCfg, create_train_state,
+                       host_step_schedule, make_multi_train_step,
+                       make_train_step, stack_batches)
 from .training.checkpoint import CheckpointManager, load_params_only
 from .utils import MetricsLogger, maybe_init_wandb
 
@@ -104,23 +105,21 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
     spc = max(int(cfg.training.steps_per_call), 1)
     if spc > 1:
         step_fn = make_multi_train_step(model, tcfg, steps_per_call=spc)
-        # when the dispatch window tiles the steady-state proposal-gate cycle
-        # ((update_every) frozen + 1 update), also compile a statically-gated
-        # unrolled program: XLA deletes the proposal backward on the frozen
-        # substeps (see make_train_step's static_updated)
-        cycle = int(model.cfg.rendering.proposal_update_every) + 1
-        steady_pattern = None
-        steady_fn = None
-        if spc % cycle == 0:
-            steady_pattern = tuple(
-                ((i + 1) % cycle == 0) for i in range(spc))
-            steady_fn = make_multi_train_step(
-                model, tcfg, steps_per_call=spc,
-                static_schedule=steady_pattern)
+        # statically-gated unrolled programs for the recurring steady-state
+        # gate rotations (XLA deletes the proposal backward on the frozen
+        # substeps; see make_train_step's static_updated). The rotation's
+        # phase depends on where warmup leaves the ssu counter, so programs
+        # are compiled on the second sight of a window's gate tuple rather
+        # than assumed up front (MultiStepDispatch).
+        steady = MultiStepDispatch(
+            lambda gt: make_multi_train_step(
+                model, tcfg, steps_per_call=spc, static_schedule=gt),
+            warmup=int(model.cfg.rendering.proposal_warmup))
         host_iter = iter(loader)
         stacked_iter = (stack_batches([next(host_iter) for _ in range(spc)])
                         for _ in iter(int, 1))
-        device_iter = DevicePrefetcher(stacked_iter, mesh, depth=2)
+        device_iter = DevicePrefetcher(stacked_iter, mesh, depth=2,
+                                       stacked=True)
     else:
         # two statically-gated variants: after proposal warmup only every
         # proposal_update_every-th step pays the proposal backward
@@ -142,16 +141,15 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
         key, sub = jax.random.split(key)
         batch = next(device_iter)
         if spc > 1:
-            # window gates from the host mirror; the statically-gated program
-            # serves exactly the steady-state pattern, the traced scan serves
-            # warmup windows (any pattern)
+            # window gates from the host mirror; recurring gate tuples get a
+            # statically-gated program, warmup windows (tuples that never
+            # recur) stay on the traced scan
             gates, ssu = [], host_ssu
             for j in range(spc):
                 g, ssu = host_step_schedule(i + j, ssu, model.cfg.rendering)
                 gates.append(g)
             host_ssu = ssu
-            fn = (steady_fn if steady_fn is not None
-                  and tuple(gates) == steady_pattern else step_fn)
+            fn = steady.select(i, gates, step_fn)
             state, metrics = fn(state, batch, sub)
         else:
             updated, host_ssu = host_step_schedule(i, host_ssu,

@@ -8,6 +8,7 @@ from .train import (
     create_train_state,
     make_train_step,
     make_multi_train_step,
+    MultiStepDispatch,
     stack_batches,
     host_step_schedule,
     stop_frozen_gradients,

@@ -283,9 +283,11 @@ def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
     the program (see make_train_step's `static_updated`). The K substeps are
     then Python-unrolled instead of scanned, so XLA deletes the proposal
     backward on the frozen substeps. At steady state the gate pattern is
-    periodic with period proposal_update_every+1 — the train loop compiles
-    ONE such program (pattern (F,)*update_every + (T,), entered aligned) and
-    keeps the traced-scan variant for warmup windows.
+    periodic with period proposal_update_every+1; which ROTATION of it a
+    dispatch window sees depends on where the warmup schedule left the ssu
+    counter, so the train loop discovers the recurring tuples at runtime
+    (`MultiStepDispatch`) and keeps the traced-scan variant for warmup
+    windows.
     """
     rendering_cfg = model.cfg.rendering
     mode = cfg.mode
@@ -360,6 +362,50 @@ def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(multi_step_fn, donate_argnums=donate_argnums)
+
+
+class MultiStepDispatch:
+    """Pick the program for each steps_per_call>1 dispatch window.
+
+    The steady-state proposal-gate cycle — update_every frozen steps + 1
+    update (ray_samplers.py:513-515) — settles into a FIXED rotation whose
+    phase depends on where the warmup schedule left the ssu counter. That
+    phase is not knowable at build time: precompiling one assumed rotation
+    can produce a program that never matches any window (when steps_per_call
+    tiles the cycle, the window-to-cycle phase is frozen forever), silently
+    losing the proposal-backward DCE. So instead: once the window is fully
+    past `warmup` (where the update schedule saturates and the rotation
+    freezes — the schedule also recurs DURING warmup, but in many distinct
+    period-2..period-cycle tuples not worth a compile each), compile a
+    statically-gated program for each gate tuple on second sight: exactly
+    one tuple recurs when steps_per_call tiles the cycle, and up to
+    cycle/gcd(spc, cycle) rotations otherwise — capped by `max_programs`.
+    """
+
+    def __init__(self, build_fn, warmup: int = 0, max_programs: int = 4):
+        self._build = build_fn  # gate tuple -> compiled program
+        self._programs = {}
+        self._seen = {}
+        self.warmup = warmup
+        self.max_programs = max_programs
+
+    def select(self, step, gates, default):
+        """step: the window's first global step; gates: its
+        host_step_schedule values. Returns the statically-gated program for
+        recurring post-warmup tuples, else `default`."""
+        if step < self.warmup:
+            return default
+        gt = tuple(bool(g) for g in gates)
+        fn = self._programs.get(gt)
+        if fn is not None:
+            return fn
+        n = self._seen.get(gt, 0) + 1
+        self._seen[gt] = n
+        if n >= 2 and len(self._programs) < self.max_programs:
+            fn = self._build(gt)
+            self._programs[gt] = fn
+            return fn
+        return default
 
 
 def stack_batches(batches):

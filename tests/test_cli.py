@@ -58,3 +58,21 @@ def test_train_cli_both_stages(scene_root, tmp_path):
     ])
     state2 = train(cfg2, max_steps_override=2, log_dir=tmp_path / "logs2")
     assert int(state2.step) == 2
+
+
+def test_train_cli_steps_per_call_steady_dispatch(scene_root, tmp_path):
+    """steps_per_call>1 through the CLI loop: warmup windows run the traced
+    scan, post-warmup windows compile + dispatch the statically-gated
+    program for whatever gate rotation the schedule froze into
+    (MultiStepDispatch; regression — the assumed-rotation precompile never
+    matched any window)."""
+    cfg = _cfg(scene_root, tmp_path, extra=[
+        "training.steps_per_call=3",
+        "model.rendering.proposal_warmup=4",
+        "model.rendering.proposal_update_every=2",
+    ])
+    state = train(cfg, max_steps_override=18, log_dir=tmp_path / "logs_spc")
+    assert int(state.step) == 18
+    assert np.isfinite(np.asarray(
+        [x.ravel()[0] for x in __import__("jax").tree.leaves(state.params)]
+    )).all()

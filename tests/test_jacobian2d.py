@@ -218,3 +218,15 @@ def test_planar_hand_synthetic_scene():
             left = left or np.abs(f[:, :24]).max() > 0
             right = right or np.abs(f[:, 24:]).max() > 0
         assert left and right
+
+
+def test_make_synthetic_command_dim_1(tmp_path):
+    """Regression: the pusher scene must keep supporting command_dim=1
+    (y reuses q[0]); render_square once indexed q2[1] unconditionally."""
+    root = make_synthetic_trajectories(tmp_path / "d1", num_trajs=1,
+                                       num_steps=3, height=24, width=24,
+                                       command_dim=1)
+    ds = Dataset2D(Dataset2DCfg(root=root, command_dim=1), stage="train")
+    item = ds[0]
+    assert item["input_command"].shape == (1,)
+    assert np.isfinite(item["trgt_flow_curr"]).all()

@@ -383,3 +383,67 @@ def test_static_schedule_multi_step_matches_sequential():
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(b).all()
         np.testing.assert_allclose(a, b, rtol=0.2, atol=5e-3)
+
+def test_multi_step_dispatch_engages_at_steady_state():
+    """The CLI's steps_per_call dispatch must actually SELECT a statically-
+    gated program once the proposal-gate schedule reaches steady state.
+
+    Regression: the loop used to precompile one assumed rotation
+    ((F,)*update_every + (T,)) — but the steady-state rotation's phase is set
+    by where warmup leaves the ssu counter, and with spc % cycle == 0 the
+    window-to-cycle phase never re-aligns, so (at the DEFAULT config:
+    warmup=5000, update_every=5, spc=6) the assumed pattern matched 0
+    windows and every dispatch fell back to the traced scan. The
+    compile-on-second-sight MultiStepDispatch must serve the static program
+    on ~all post-warmup windows, whatever the phase, while never compiling
+    for the (recurring but transient) warmup tuples."""
+    from neural_jacobian_field_tpu.models.model import RenderingCfg
+    from neural_jacobian_field_tpu.training import (
+        MultiStepDispatch, host_step_schedule,
+    )
+
+    rcfg = RenderingCfg()  # production defaults: warmup 5000, update_every 5
+    cycle = rcfg.proposal_update_every + 1
+    spc = 6
+    assert spc % cycle == 0  # the phase-frozen case from the regression
+
+    compiles = []
+    steady = MultiStepDispatch(lambda gt: compiles.append(gt) or ("static", gt),
+                               warmup=rcfg.proposal_warmup)
+
+    ssu, chosen = 0, []
+    for i in range(0, 30_000, spc):
+        gates = []
+        for j in range(spc):
+            g, ssu = host_step_schedule(i + j, ssu, rcfg)
+            gates.append(g)
+        chosen.append((i, tuple(gates), steady.select(i, gates, "traced")))
+
+    # exactly one compile (one frozen rotation), nothing during warmup
+    assert len(compiles) == 1, compiles
+    post = [c for c in chosen if c[0] >= rcfg.proposal_warmup]
+    static_served = [c for c in post if c[2] != "traced"]
+    # every post-warmup window except the compile-trigger sighting is static
+    assert len(static_served) == len(post) - 1, (
+        f"static program served {len(static_served)}/{len(post)} windows")
+    for _, gates, prog in static_served:
+        assert prog == ("static", gates)
+    # the old assumed rotation never occurs at steady state (the bug):
+    assumed = tuple(((k + 1) % cycle == 0) for k in range(spc))
+    steady_tuples = {c[1] for c in post}
+    assert len(steady_tuples) == 1  # one frozen rotation...
+    assert assumed not in steady_tuples  # ...and it isn't the assumed one
+
+
+def test_multi_step_dispatch_caps_compiles():
+    from neural_jacobian_field_tpu.training import MultiStepDispatch
+
+    compiles = []
+    d = MultiStepDispatch(lambda gt: compiles.append(gt) or ("p", gt),
+                          max_programs=2)
+    tuples = [(True, False), (False, True), (True, True), (False, False)]
+    for t in tuples * 3:
+        d.select(100, t, "traced")
+    assert len(compiles) == 2  # cap respected
+    # cached programs keep being served
+    assert d.select(100, tuples[0], "traced") == ("p", tuples[0])
