@@ -62,9 +62,10 @@ class _FrozenBatchNorm(nn.Module):
 def _make_norm(norm_type: str, dtype, name: str):
     if norm_type == "batch":
         return _FrozenBatchNorm(dtype=dtype, name=name)
-    # instance norm, no affine (official fnet)
+    # instance norm, no affine (official fnet); eps 1e-5 = torch
+    # InstanceNorm2d's default (flax GroupNorm defaults to 1e-6)
     return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                        use_scale=False, dtype=dtype, name=name)
+                        use_scale=False, epsilon=1e-5, dtype=dtype, name=name)
 
 
 class _ResBlock(nn.Module):
@@ -140,8 +141,13 @@ def _corr_lookup(pyramid, coords: jax.Array):
     """
     n, h, w, _ = coords.shape
     r = RADIUS
+    # official channel order: delta = stack(meshgrid(di, dj, indexing="ij"))
+    # added to (x, y) — the X offset varies SLOWEST across the 81 lookup
+    # channels (princeton-vl corr.py / torchvision raft CorrBlock). The
+    # "xy" form is the same lookup set in transposed order, which would
+    # scramble the channels into update_motion.convc1 under ported weights.
     d = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1.0), jnp.arange(-r, r + 1.0),
-                               indexing="xy"), -1).reshape(-1, 2)  # [(2r+1)^2, 2]
+                               indexing="ij"), -1).reshape(-1, 2)  # [(2r+1)^2, 2]
     out = []
     for lvl, corr in enumerate(pyramid):
         ch, cw = corr.shape[1:3]
@@ -150,7 +156,11 @@ def _corr_lookup(pyramid, coords: jax.Array):
         # to [-1, 1] (align_corners=True convention of grid_sample)
         gx = pts[..., 0] / jnp.maximum(cw - 1, 1) * 2.0 - 1.0
         gy = pts[..., 1] / jnp.maximum(ch - 1, 1) * 2.0 - 1.0
-        sampled = grid_sample_bilinear(corr, jnp.stack([gx, gy], -1))
+        # zeros padding: the official bilinear_sampler is F.grid_sample with
+        # the DEFAULT padding_mode — OOB corr entries read 0, not the border
+        # value (matters for every pixel within `r` texels of the edge)
+        sampled = grid_sample_bilinear(corr, jnp.stack([gx, gy], -1),
+                                       padding_mode="zeros")
         out.append(sampled.reshape(n, h, w, -1))
     return jnp.concatenate(out, axis=-1)
 
@@ -200,7 +210,10 @@ class _FlowHead(nn.Module):
     @nn.compact
     def __call__(self, h):
         x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h))
-        return nn.Conv(2, (3, 3), padding=1, name="conv2")(x).astype(jnp.float32)
+        out = nn.Conv(2, (3, 3), padding=1, name="conv2")(x)
+        # pin f32 only when running a reduced compute dtype (bf16); a
+        # no-op in f32 and it must not downcast the f64 golden tests
+        return out.astype(jnp.float32) if self.dtype is not None else out
 
 
 class RAFT(nn.Module):
@@ -219,13 +232,17 @@ class RAFT(nn.Module):
         x2 = (image2 * 2.0 - 1.0).astype(dt) if dt else image2 * 2.0 - 1.0
 
         fnet = _Encoder(out_ch=256, dtype=dt, name="fnet")
-        f1 = fnet(x1).astype(jnp.float32)
-        f2 = fnet(x2).astype(jnp.float32)
+        def pin(t):
+            # f32 accumulators when computing in bf16; identity otherwise
+            return t.astype(jnp.float32) if dt is not None else t
+
+        f1 = pin(fnet(x1))
+        f2 = pin(fnet(x2))
         pyramid = _corr_pyramid(f1, f2)
 
         cmap = _Encoder(out_ch=256, norm_type="batch", dtype=dt, name="cnet")(x1)
-        hidden = nn.tanh(cmap[..., :128]).astype(jnp.float32)
-        context = nn.relu(cmap[..., 128:]).astype(jnp.float32)
+        hidden = pin(nn.tanh(cmap[..., :128]))
+        context = pin(nn.relu(cmap[..., 128:]))
 
         n, h, w, _ = f1.shape
         xs, ys = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
@@ -257,8 +274,11 @@ class RAFT(nn.Module):
         if return_low_res:
             return flow_low
 
-        # convex upsampling (official upsample_flow)
-        mask = mask_c2(nn.relu(mask_c1(hidden))).astype(jnp.float32)
+        # convex upsampling (official upsample_flow); the 0.25 mask-logit
+        # scale is the official BasicUpdateBlock's "scale mask to balance
+        # gradients" — it changes the softmax temperature, so ported
+        # checkpoints need it for numeric parity
+        mask = 0.25 * pin(mask_c2(nn.relu(mask_c1(hidden))))
         mask = mask.reshape(n, h, w, 9, 8 * 8)
         mask = jax.nn.softmax(mask, axis=-2)
         # 3x3 neighborhood of the low-res flow, scaled by 8
@@ -333,9 +353,62 @@ def resize_batched_frames(frames: jax.Array, target_hw: Tuple[int, int]) -> jax.
     return jax.image.resize(frames, (b, th, tw, c), method="bilinear")
 
 
+def _translate_torchvision_raft_names(state_dict) -> dict:
+    """torchvision `raft_large` state_dict names -> princeton-vl canonical.
+
+    The reference consumes torchvision's RAFT (raft_wrapper/raft.py:8,81:
+    `raft_large(weights=Raft_Large_Weights.DEFAULT)`), whose modules are
+    Conv2dNormActivation Sequentials (`feature_encoder.convnormrelu.0` etc.)
+    while the porter below speaks princeton names (`fnet.conv1`). The two
+    architectures are weight-identical; this is a pure rename.
+    """
+    renames = {}
+
+    def enc(tv, pv):
+        renames[f"{tv}.convnormrelu.0"] = f"{pv}.conv1"
+        renames[f"{tv}.convnormrelu.1"] = f"{pv}.norm1"
+        renames[f"{tv}.conv"] = f"{pv}.conv2"
+        for li in (1, 2, 3):
+            for bi in (0, 1):
+                b_tv = f"{tv}.layer{li}.{bi}"
+                b_pv = f"{pv}.layer{li}.{bi}"
+                renames[f"{b_tv}.convnormrelu1.0"] = f"{b_pv}.conv1"
+                renames[f"{b_tv}.convnormrelu1.1"] = f"{b_pv}.norm1"
+                renames[f"{b_tv}.convnormrelu2.0"] = f"{b_pv}.conv2"
+                renames[f"{b_tv}.convnormrelu2.1"] = f"{b_pv}.norm2"
+                renames[f"{b_tv}.downsample.0"] = f"{b_pv}.downsample.0"
+                renames[f"{b_tv}.downsample.1"] = f"{b_pv}.norm3"
+
+    enc("feature_encoder", "fnet")
+    enc("context_encoder", "cnet")
+    me = "update_block.motion_encoder"
+    for tv, pv in (("convcorr1", "convc1"), ("convcorr2", "convc2"),
+                   ("convflow1", "convf1"), ("convflow2", "convf2"),
+                   ("conv", "conv")):
+        renames[f"{me}.{tv}.0"] = f"update_block.encoder.{pv}"
+    for tv_idx, pv_idx in (("1", "1"), ("2", "2")):
+        for gate in ("convz", "convr", "convq"):
+            renames[f"update_block.recurrent_block.convgru{tv_idx}.{gate}"] = \
+                f"update_block.gru.{gate}{pv_idx}"
+    renames["update_block.flow_head.conv1"] = "update_block.flow_head.conv1"
+    renames["update_block.flow_head.conv2"] = "update_block.flow_head.conv2"
+    renames["mask_predictor.convrelu.0"] = "update_block.mask.0"
+    renames["mask_predictor.conv"] = "update_block.mask.2"
+
+    out = {}
+    for k, v in state_dict.items():
+        base = k[len("module."):] if k.startswith("module.") else k
+        stem, _, leaf = base.rpartition(".")
+        new = renames.get(stem)
+        out[f"{new}.{leaf}" if new is not None else base] = v
+    return out
+
+
 def load_torch_raft_state_dict(params, state_dict, unused_out: list = None) -> dict:
     """Port an official princeton-vl RAFT checkpoint (raft-things.pth etc.,
-    'module.'-prefixed torch state_dict) into RAFT Flax params.
+    'module.'-prefixed torch state_dict) OR a torchvision `raft_large`
+    state_dict (the reference's actual dependency — names are auto-detected
+    and translated) into RAFT Flax params.
 
     Consumes every tensor in the checkpoint (cnet BatchNorm scale/bias/
     running stats land in the _FrozenBatchNorm params); leftover keys other
@@ -345,6 +418,11 @@ def load_torch_raft_state_dict(params, state_dict, unused_out: list = None) -> d
     """
     import numpy as np
     import flax.traverse_util as tu
+
+    if any(k.split("module.")[-1].startswith(("feature_encoder.",
+                                              "context_encoder."))
+           for k in state_dict):
+        state_dict = _translate_torchvision_raft_names(state_dict)
 
     flat = dict(tu.flatten_dict(params, sep="/"))
     used = set()

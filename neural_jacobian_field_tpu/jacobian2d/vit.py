@@ -49,10 +49,10 @@ class _Block(nn.Module):
             return t.reshape(*t.shape[:-1], cfg.heads, head_dim).swapaxes(-3, -2)
 
         q, k, v = map(heads, (q, k, v))
-        attn = jax.nn.softmax(
-            (jnp.einsum("...hqd,...hkd->...hqk", q, k) * head_dim**-0.5).astype(jnp.float32),
-            axis=-1,
-        ).astype(q.dtype)
+        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k) * head_dim**-0.5
+        if dt is not None:  # f32 softmax under bf16; identity in f32/f64
+            logits = logits.astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         o = jnp.einsum("...hqk,...hkd->...hqd", attn, v)
         o = o.swapaxes(-3, -2).reshape(*x.shape[:-1], cfg.dim)
         o = nn.Dense(cfg.dim, dtype=dt, name="attn_proj")(o)
@@ -61,7 +61,9 @@ class _Block(nn.Module):
 
         h = nn.LayerNorm(dtype=dt, name="norm2")(x)
         h = nn.Dense(int(cfg.dim * cfg.mlp_ratio), dtype=dt, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        # exact erf GELU: torch nn.GELU() default (DINOv2 Mlp); flax's
+        # approximate=True tanh form diverges ~1e-3 — a real-weight parity gap
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.dim, dtype=dt, name="mlp_fc2")(h)
         ls2 = self.param("ls2", nn.initializers.constant(cfg.layerscale_init), (cfg.dim,))
         return x + h * ls2
@@ -96,7 +98,9 @@ class ViTS14(nn.Module):
         for i in range(cfg.depth):
             x = _Block(cfg=cfg, compute_dtype=dt, name=f"block_{i}")(x)
         x = nn.LayerNorm(dtype=dt, name="norm")(x)
-        return x[:, 1:].astype(jnp.float32)  # drop cls (get_intermediate_layers)
+        out = x[:, 1:]  # drop cls (get_intermediate_layers)
+        # f32 pin only under a reduced compute dtype (no f64-golden downcast)
+        return out.astype(jnp.float32) if dt is not None else out
 
 
 def load_torch_dinov2_state_dict(params, state_dict, unused_out: list = None) -> dict:

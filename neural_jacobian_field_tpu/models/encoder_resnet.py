@@ -180,4 +180,7 @@ class EncoderResnet(nn.Module):
 
         # "concat": materialize the reference's upsampled concat map.
         resized = [latents[0]] + [up_to_fine(lat) for lat in latents[1:]]
-        return jnp.concatenate(resized, axis=-1).astype(jnp.float32)
+        out = jnp.concatenate(resized, axis=-1)
+        # pin f32 only when computing in a reduced dtype (bf16); must not
+        # downcast f64 golden-parity runs
+        return out.astype(jnp.float32) if dt is not None else out

@@ -28,7 +28,9 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dt = self.compute_dtype
         x = nn.Dense(self.hidden_dim, kernel_init=init.torch_linear, dtype=dt, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact erf GELU: the reference FeedForward uses torch nn.GELU()
+        # (model_components/transformer.py:29), which is the erf form
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, kernel_init=init.torch_linear, dtype=dt, name="fc2")(x)
         return x
 
