@@ -207,7 +207,11 @@ class DatasetCommon:
 
     # -- item assembly ---------------------------------------------------------
 
-    def __getitem__(self, ctxt_file_idx: int) -> Dict[str, np.ndarray]:
+    def plan_item(self, ctxt_file_idx: int) -> Dict:
+        """All random choices + host metadata for one item, WITHOUT decoding
+        any files. `__getitem__` materializes a plan one item at a time; the
+        loader's native fast path materializes a whole batch of plans with
+        one threaded C++ call per modality (GIL released throughout)."""
         ctxt_file_idx = ctxt_file_idx % self.num_files
         if self.cfg.overfit_to_scene is not None:
             ctxt_file_idx = int(self.cfg.overfit_to_scene)
@@ -220,53 +224,30 @@ class DatasetCommon:
             str(ctxt_img_filename), ctxt_cam_idx, trgt_cam_idx
         )
 
-        hw_ctxt = (int(self.outputs.heights[ctxt_cam_idx]),
-                   int(self.outputs.widths[ctxt_cam_idx]))
-        hw_trgt = (int(self.outputs.heights[trgt_cam_idx]),
-                   int(self.outputs.widths[trgt_cam_idx]))
-        try:
-            ctxt_rgb = load_image(ctxt_img_filename, self.scale_factor, hw_ctxt)
-            trgt_rgb = load_image(trgt_img_filename, self.scale_factor, hw_trgt)
-        except OSError:
-            return self.__getitem__(random.randint(0, self.num_files - 1))
-
         # relative extrinsics: context frame = identity (dataset.py:363-365)
         ctxt_c2w = self.load_extrinsics(ctxt_cam_idx)
         trgt_c2w = self.load_extrinsics(trgt_cam_idx)
-        inv_ctxt = np.linalg.inv(ctxt_c2w)
-        trgt_c2w = inv_ctxt @ trgt_c2w
-        ctxt_c2w = np.eye(4, dtype=np.float32)
+        trgt_c2w = np.linalg.inv(ctxt_c2w) @ trgt_c2w
 
-        ctxt_intr, _ = self.load_intrinsics(ctxt_cam_idx)
-        trgt_intr, _ = self.load_intrinsics(trgt_cam_idx)
-
-        depth_scale = (self.outputs.depth_unit_scale_factor
-                       * self.outputs.dataparser_scale)
-        trgt_depth = load_depth(
-            str(trgt_img_filename).replace("rgb", "depth"), depth_scale, hw_trgt
-        )
-
-        if self.random_background is not None:
-            mask_path = str(ctxt_img_filename).replace("rgb", "mask").replace(".png", ".npy")
-            try:
-                mask = np.load(mask_path).astype(np.float32)
-                ctxt_rgb = self.random_background(ctxt_rgb, mask)
-            except FileNotFoundError:
-                pass
-        if self.zero_background is not None:
-            ctxt_rgb = self.zero_background(ctxt_rgb)
-
-        item = {
-            "ctxt_rgb": ctxt_rgb.astype(np.float32),
-            "ctxt_extrinsics": ctxt_c2w.astype(np.float32),
-            "ctxt_intrinsics": ctxt_intr,
-            "robot_action": np.zeros((self.action_dim,), np.float32),
-            "trgt_rgb": trgt_rgb.astype(np.float32),
-            "trgt_depth": trgt_depth,
+        plan = {
+            "ctxt_path": ctxt_img_filename,
+            "trgt_path": trgt_img_filename,
+            "hw_ctxt": (int(self.outputs.heights[ctxt_cam_idx]),
+                        int(self.outputs.widths[ctxt_cam_idx])),
+            "hw_trgt": (int(self.outputs.heights[trgt_cam_idx]),
+                        int(self.outputs.widths[trgt_cam_idx])),
+            "depth_path": str(trgt_img_filename).replace("rgb", "depth"),
+            "depth_scale": (self.outputs.depth_unit_scale_factor
+                            * self.outputs.dataparser_scale),
+            "ctxt_extrinsics": np.eye(4, dtype=np.float32),
             "trgt_extrinsics": trgt_c2w.astype(np.float32),
-            "trgt_intrinsics": trgt_intr,
+            "ctxt_intrinsics": self.load_intrinsics(ctxt_cam_idx)[0],
+            "trgt_intrinsics": self.load_intrinsics(trgt_cam_idx)[0],
+            "robot_action": np.zeros((self.action_dim,), np.float32),
             "near": np.float32(self.near),
             "far": np.float32(self.far),
+            "flow_path": None,
+            "tracks_args": None,
         }
 
         if self.cfg.mode == "action":
@@ -277,19 +258,67 @@ class DatasetCommon:
             )
             next_frame_idx = (curr_frame_idx + displacement if flow_type == "fwd"
                               else curr_frame_idx - displacement)
-            item["robot_action"] = self.load_robot_action(
+            plan["robot_action"] = self.load_robot_action(
                 traj_idx, curr_frame_idx, next_frame_idx
             )
             if self.cfg.action_supervision_type == "optical_flow":
-                flow_file = cv.get_optical_flow_filename(
+                plan["flow_path"] = cv.get_optical_flow_filename(
                     trgt_img_filename, traj_idx, curr_frame_idx, flow_type
                 )
-                item["flow"] = load_optical_flow(flow_file)
             else:
-                item.update(self.load_tracks_supervision(
-                    trgt_img_filename, traj_idx, curr_frame_idx, next_frame_idx,
-                    image_width=trgt_rgb.shape[1],
-                ))
+                plan["tracks_args"] = (trgt_img_filename, traj_idx,
+                                       curr_frame_idx, next_frame_idx)
+        return plan
+
+    @property
+    def needs_python_items(self) -> bool:
+        """True when per-item Python work (augmentation, masking) forbids the
+        loader's batched native materialization."""
+        return (self.random_background is not None
+                or self.zero_background is not None
+                or self.scale_factor != 1.0)
+
+    def _plan_to_item(self, plan: Dict) -> Dict[str, np.ndarray]:
+        item = {k: plan[k] for k in (
+            "ctxt_extrinsics", "trgt_extrinsics", "ctxt_intrinsics",
+            "trgt_intrinsics", "robot_action", "near", "far")}
+        return item
+
+    def __getitem__(self, ctxt_file_idx: int) -> Dict[str, np.ndarray]:
+        plan = self.plan_item(ctxt_file_idx)
+        try:
+            ctxt_rgb = load_image(plan["ctxt_path"], self.scale_factor,
+                                  plan["hw_ctxt"])
+            trgt_rgb = load_image(plan["trgt_path"], self.scale_factor,
+                                  plan["hw_trgt"])
+        except OSError:
+            # corrupt-image retry with a random resample (dataset.py:345-354)
+            return self.__getitem__(random.randint(0, self.num_files - 1))
+
+        trgt_depth = load_depth(plan["depth_path"], plan["depth_scale"],
+                                plan["hw_trgt"])
+
+        if self.random_background is not None:
+            mask_path = str(plan["ctxt_path"]).replace("rgb", "mask").replace(".png", ".npy")
+            try:
+                mask = np.load(mask_path).astype(np.float32)
+                ctxt_rgb = self.random_background(ctxt_rgb, mask)
+            except FileNotFoundError:
+                pass
+        if self.zero_background is not None:
+            ctxt_rgb = self.zero_background(ctxt_rgb)
+
+        item = self._plan_to_item(plan)
+        item.update({
+            "ctxt_rgb": ctxt_rgb.astype(np.float32),
+            "trgt_rgb": trgt_rgb.astype(np.float32),
+            "trgt_depth": trgt_depth,
+        })
+        if plan["flow_path"] is not None:
+            item["flow"] = load_optical_flow(plan["flow_path"])
+        elif plan["tracks_args"] is not None:
+            item.update(self.load_tracks_supervision(
+                *plan["tracks_args"], image_width=trgt_rgb.shape[1]))
         return item
 
     def load_tracks_supervision(self, trgt_img_filename, traj_idx, curr_frame_idx,

@@ -71,21 +71,86 @@ def collate(items, num_tracks: Optional[int] = None) -> RawBatch:
 
 
 class DataLoader:
-    """Random-sampling loader with background prefetch threads."""
+    """Random-sampling loader with background prefetch threads.
+
+    Fast path: when the native decoder is available and the dataset needs no
+    per-item Python work (no augmentation, tracks mode excepted), each batch
+    is materialized by THREE threaded C++ calls — one RGB decode over all
+    2*B images, one depth decode, one flow-.npz load — with the GIL released
+    throughout (`_make_batch_native`). The per-item Python path is GIL-bound
+    at ~54 items/s at reference shapes (benchmarks/input_pipeline_bench.py),
+    under the ~119 items/s the device demands; the batched path clears it.
+    """
 
     def __init__(self, dataset: DatasetCommon, batch_size: int,
                  num_tracks: Optional[int] = None, num_workers: int = 2,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0, decode_threads: int = 8):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_tracks = num_tracks
         self.num_workers = max(0, num_workers)
         self.prefetch = prefetch
+        self.decode_threads = decode_threads
         self._rng = random.Random(seed)
+        from .native import get_lib
+
+        self._native = get_lib() is not None and not getattr(
+            dataset, "needs_python_items", True)
 
     def _make_batch(self) -> RawBatch:
         idxs = [self._rng.randrange(len(self.dataset)) for _ in range(self.batch_size)]
+        if self._native:
+            try:
+                return self._make_batch_native(idxs)
+            except (IOError, OSError):
+                # corrupt file: per-item path has the retry semantics
+                pass
         return collate([self.dataset[i] for i in idxs], self.num_tracks)
+
+    def _make_batch_native(self, idxs) -> RawBatch:
+        from .native import (decode_depth_batch, decode_rgb_batch_u8,
+                             load_flow_npz_batch)
+
+        ds = self.dataset
+        plans = [ds.plan_item(i) for i in idxs]
+        b = len(plans)
+        hw = plans[0]["hw_ctxt"]
+        if any(p["hw_ctxt"] != hw or p["hw_trgt"] != hw for p in plans) or \
+           any(p["tracks_args"] is not None for p in plans):
+            # mixed resolutions / tracks supervision: per-item path
+            return collate([ds[i] for i in idxs], self.num_tracks)
+        h, w = hw
+        t = self.decode_threads
+        # uint8 wire format: prepare_training_batch normalizes on device
+        rgb = decode_rgb_batch_u8(
+            [p["ctxt_path"] for p in plans] + [p["trgt_path"] for p in plans],
+            h, w, threads=t)
+        depth = decode_depth_batch([p["depth_path"] for p in plans], h, w,
+                                   scale=plans[0]["depth_scale"], threads=t)
+        flow = None
+        if plans[0]["flow_path"] is not None:
+            flow = load_flow_npz_batch([p["flow_path"] for p in plans], h, w,
+                                       threads=t)
+
+        def stack(key):
+            return np.stack([p[key] for p in plans], axis=0)
+
+        return RawBatch(
+            ctxt_rgb=rgb[:b],
+            ctxt_extrinsics=stack("ctxt_extrinsics"),
+            ctxt_intrinsics=stack("ctxt_intrinsics"),
+            robot_action=stack("robot_action"),
+            trgt_rgb=rgb[b:],
+            trgt_depth=depth,
+            trgt_extrinsics=stack("trgt_extrinsics"),
+            trgt_intrinsics=stack("trgt_intrinsics"),
+            near=stack("near"),
+            far=stack("far"),
+            flow=flow,
+            pixel_selector=None,
+            pixel_motion=None,
+            pixel_visible_mask=None,
+        )
 
     def __iter__(self) -> Iterator[RawBatch]:
         if self.num_workers == 0:

@@ -61,6 +61,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_int,
         ]
+        if not (hasattr(lib, "njf_load_flow_npz_batch")
+                and hasattr(lib, "njf_decode_rgb_batch_u8")):
+            # stale prebuilt library from before the flow reader existed
+            if _build():
+                lib = ctypes.CDLL(str(_LIB_PATH))
+            else:
+                _lib_failed = True
+                return None
+        lib.njf_load_flow_npz_batch.restype = ctypes.c_int
+        lib.njf_load_flow_npz_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.njf_decode_rgb_batch_u8.restype = ctypes.c_int
+        lib.njf_decode_rgb_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -104,3 +124,41 @@ def decode_depth_batch(paths: Sequence, height: int, width: int,
     if rc != 0:
         raise IOError(f"native depth decode failed for {paths[rc - 1]}")
     return out[..., None]
+
+
+def decode_rgb_batch_u8(paths: Sequence, height: int, width: int,
+                        threads: int = 8) -> Optional[np.ndarray]:
+    """Decode image files -> uint8 [N, H, W, 3] (the host->device wire
+    format: 4x fewer bytes than f32; prepare_training_batch normalizes on
+    device). None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((len(paths), height, width, 3), np.uint8)
+    rc = lib.njf_decode_rgb_batch_u8(
+        _paths_array(paths), len(paths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), height, width,
+        threads,
+    )
+    if rc != 0:
+        raise IOError(f"native decode failed for {paths[rc - 1]}")
+    return out
+
+
+def load_flow_npz_batch(paths: Sequence, height: int, width: int,
+                        threads: int = 8) -> Optional[np.ndarray]:
+    """Load RAFT-flow .npz files -> float32 [N, H, W, 2] (accepts [H, W, 2]
+    or [2, H, W] f32/f64 payloads — utils/io_utils.load_optical_flow
+    semantics). None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((len(paths), height, width, 2), np.float32)
+    rc = lib.njf_load_flow_npz_batch(
+        _paths_array(paths), len(paths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), height, width,
+        threads,
+    )
+    if rc != 0:
+        raise IOError(f"native flow load failed for {paths[rc - 1]}")
+    return out

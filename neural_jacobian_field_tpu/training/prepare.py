@@ -77,6 +77,14 @@ def prepare_training_batch(
     mode: "perception" | "action". Tracks supervision is selected by the
     presence of batch.pixel_selector (static pytree structure).
     """
+    # uint8 wire format: the loader's native fast path ships RGB as uint8
+    # (4x fewer host->device bytes — the axon tunnel moves ~120 MB/s, so a
+    # f32 480x640 batch alone would cost ~0.4 s/step); normalize on device.
+    if batch.ctxt_rgb.dtype == jnp.uint8:
+        batch = batch.replace(
+            ctxt_rgb=batch.ctxt_rgb.astype(jnp.float32) / 255.0,
+            trgt_rgb=batch.trgt_rgb.astype(jnp.float32) / 255.0,
+        )
     b, h, w = batch.trgt_rgb.shape[:3]
     coords_full, _ = get_pixel_coordinates(h, w)  # [H, W, 2] normalized
     coords_full = jnp.broadcast_to(coords_full[None], (b, h, w, 2)).reshape(b, h * w, 2)
