@@ -133,7 +133,10 @@ class CocoOccluderSource:
             # reference parity (image_augmentation.py:166-176): both axes
             # scale LINEARLY by rand_threshold/area, so the resulting area is
             # rand_threshold^2/area — quadratically smaller than the sampled
-            # threshold. That quirk is the reference's own; kept bit-for-bit.
+            # threshold. That quirk is the reference's own and is kept —
+            # EXCEPT the max(1, ...) clamps below, which diverge from the
+            # reference only where rand_threshold*dim/area < 1, a degenerate
+            # case where PIL would raise on a 0-size resize.
             rand_threshold = np.random.randint(int(self.min_area), int(self.max_area))
             crop = crop.resize((max(1, int(bw * rand_threshold / area)),
                                 max(1, int(bh * rand_threshold / area))),

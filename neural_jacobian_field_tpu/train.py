@@ -14,6 +14,7 @@ Differences from the reference, by design:
   - host loader threads replace torch DataLoader workers.
 """
 
+import math
 import sys
 import time
 from pathlib import Path
@@ -111,10 +112,16 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
         # phase depends on where warmup leaves the ssu counter, so programs
         # are compiled on the second sight of a window's gate tuple rather
         # than assumed up front (MultiStepDispatch).
+        # at steady state the gate cycle has period update_every+1; a spc
+        # window can see cycle/gcd(spc, cycle) distinct rotations of it —
+        # size the compile cap so every recurring rotation gets its program
+        cycle = int(model.cfg.rendering.proposal_update_every) + 1
+        rotations = cycle // math.gcd(spc, cycle)
         steady = MultiStepDispatch(
             lambda gt: make_multi_train_step(
                 model, tcfg, steps_per_call=spc, static_schedule=gt),
-            warmup=int(model.cfg.rendering.proposal_warmup))
+            warmup=int(model.cfg.rendering.proposal_warmup),
+            max_programs=max(rotations, 4))
         host_iter = iter(loader)
         stacked_iter = (stack_batches([next(host_iter) for _ in range(spc)])
                         for _ in iter(int, 1))

@@ -386,7 +386,12 @@ class MultiStepDispatch:
         self._build = build_fn  # gate tuple -> compiled program
         self._programs = {}
         self._seen = {}
-        self.warmup = warmup
+        self._cap_logged = set()
+        # host_step_schedule forces updated=True while step < 10 regardless
+        # of the warmup schedule; with proposal_warmup < 10 (toy/test
+        # configs) those transient all-True tuples would otherwise recur
+        # past `warmup` and burn compile slots (r3 advisor finding)
+        self.warmup = max(warmup, 10)
         self.max_programs = max_programs
 
     def select(self, step, gates, default):
@@ -401,10 +406,17 @@ class MultiStepDispatch:
             return fn
         n = self._seen.get(gt, 0) + 1
         self._seen[gt] = n
-        if n >= 2 and len(self._programs) < self.max_programs:
-            fn = self._build(gt)
-            self._programs[gt] = fn
-            return fn
+        if n >= 2:
+            if len(self._programs) < self.max_programs:
+                fn = self._build(gt)
+                self._programs[gt] = fn
+                return fn
+            if gt not in self._cap_logged:
+                self._cap_logged.add(gt)
+                print(f"MultiStepDispatch: max_programs={self.max_programs} "
+                      f"reached; recurring gate tuple {gt} stays on the "
+                      "traced scan (correct but loses the proposal-backward "
+                      "DCE)", flush=True)
         return default
 
 

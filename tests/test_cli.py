@@ -29,7 +29,10 @@ def _cfg(scene_root, tmp_path, extra=()):
         "model.rendering.num_proposal_samples=[4]",
         "model.rendering.num_nerf_samples=4",
         "model.encoder.num_layers=2",
-        "model.encoder.norm_type=group",
+        # batch: the production encoder default (image_encoder_resnet.yaml) —
+        # the 8-device CLI path must exercise BatchNorm's mutable batch_stats
+        # under SPMD, where round 3's 15-dB eval bug hid (VERDICT r3 item 4)
+        "model.encoder.norm_type=batch",
         "training.data.batch_size=2",
         "training.data.num_workers=0",
         "training.data.rays_per_batch=16",
@@ -60,12 +63,29 @@ def test_train_cli_both_stages(scene_root, tmp_path):
     assert int(state2.step) == 2
 
 
-def test_train_cli_steps_per_call_steady_dispatch(scene_root, tmp_path):
+def test_train_cli_steps_per_call_steady_dispatch(scene_root, tmp_path,
+                                                  monkeypatch):
     """steps_per_call>1 through the CLI loop: warmup windows run the traced
     scan, post-warmup windows compile + dispatch the statically-gated
     program for whatever gate rotation the schedule froze into
     (MultiStepDispatch; regression — the assumed-rotation precompile never
-    matched any window)."""
+    matched any window). The static and traced programs are numerically
+    equivalent, so the test also RECORDS dispatch decisions and asserts a
+    statically-gated program was actually served post-warmup (r3 advisor
+    finding: step count + finiteness alone can't see a dispatch regression).
+    """
+    import neural_jacobian_field_tpu.train as cli
+
+    served = []
+    base = cli.MultiStepDispatch
+
+    class Recording(base):
+        def select(self, step, gates, default):
+            fn = super().select(step, gates, default)
+            served.append(fn is not default)
+            return fn
+
+    monkeypatch.setattr(cli, "MultiStepDispatch", Recording)
     cfg = _cfg(scene_root, tmp_path, extra=[
         "training.steps_per_call=3",
         "model.rendering.proposal_warmup=4",
@@ -76,3 +96,9 @@ def test_train_cli_steps_per_call_steady_dispatch(scene_root, tmp_path):
     assert np.isfinite(np.asarray(
         [x.ravel()[0] for x in __import__("jax").tree.leaves(state.params)]
     )).all()
+    # warmup floor is max(proposal_warmup, 10): windows at 12 and 15 share
+    # the steady rotation (cycle 3 == spc), so the second sight compiles and
+    # serves the statically-gated program
+    assert any(served), (
+        "no statically-gated program was served — dispatch regressed to the "
+        f"traced scan for every window ({served})")
