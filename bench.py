@@ -181,6 +181,62 @@ def _train_metric(metric, mode, tracks, rays, baseline=None):
           f"{sum(SAMPLES)} samples, bf16)",
           rps / baseline if baseline else None)
 
+    if mode == "perception":
+        _emit_mfu(per_step)
+
+
+# TPU v5e peak: 197 TFLOP/s bf16 (394 TOPS int8)
+V5E_BF16_PEAK = 197e12
+
+
+def _emit_mfu(per_step_s):
+    """Model-FLOPs MFU of the steady-state train step (VERDICT r3 item 5).
+
+    Numerator: XLA cost-analysis FLOPs of the UNFUSED lowering of the same
+    step (Pallas custom calls report zero FLOPs to cost analysis, and the
+    fused kernel's backward recompute would overcount "model" FLOPs anyway);
+    both proposal-gate variants are counted and mixed 5:1 like the measured
+    steady state. Denominator: the measured fused step time x 197 TFLOP/s
+    (v5e bf16 peak)."""
+    try:
+        from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
+        from neural_jacobian_field_tpu.models.model import (
+            Model, RenderingCfg, make_model_cfg)
+        from neural_jacobian_field_tpu.training import (
+            TrainCfg, create_train_state, make_train_step)
+
+        model = Model(cfg=make_model_cfg(
+            "jacobian_mlp", action_dim=ACTION_DIM,
+            rendering=RenderingCfg(num_proposal_samples=(SAMPLES[0],),
+                                   num_nerf_samples=SAMPLES[1],
+                                   use_pallas_pdf=False,
+                                   pixel_feature_mode="epipolar",
+                                   use_fused_trunk=False),
+            encoder=EncoderResnetCfg(norm_type="batch"),
+        ), compute_dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        batch = _raw_batch(key)
+        cfg = TrainCfg(mode="perception", rays_per_batch=RAYS,
+                       warm_up_steps=10000)
+        state = create_train_state(key, model, batch, cfg)
+        flops = {}
+        for updated in (True, False):
+            fn = make_train_step(model, cfg, donate=False,
+                                 static_updated=updated)
+            compiled = fn.lower(state, batch, key).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops[updated] = float(ca["flops"])
+        model_flops = (5 * flops[False] + flops[True]) / 6.0
+        mfu = model_flops / (per_step_s * V5E_BF16_PEAK)
+        _emit("train_mfu_pct", mfu * 100,
+              "% of v5e bf16 peak (197 TFLOP/s; model FLOPs = XLA cost "
+              "analysis of the unfused lowering, 5:1 steady gate mix)")
+    except Exception as e:
+        print(f"mfu metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
 
 def bench_train_perception():
     _train_metric("train_rays_per_sec", "perception", 0, RAYS,

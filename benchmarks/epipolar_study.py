@@ -208,8 +208,18 @@ def main():
     ap.add_argument("--out", default="/tmp/njf_epi_study.jsonl")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU (CI smoke)")
+    ap.add_argument("--hw", default=None,
+                    help="scene resolution HxW (default 480x640); the "
+                    "mid-scale bisect of the exact-mode anomaly uses 240x320")
     ap.add_argument("--eval-snapshot", default=None,
                     help="skip training; evaluate this params pickle")
+    ap.add_argument("--s2-from", default=None,
+                    help="skip stage 1; warm-start stage 2 from this params "
+                    "pickle (cross-stage anomaly isolation, VERDICT r3 #1)")
+    ap.add_argument("--snapshot-s1", action="store_true",
+                    help="also pickle the stage-1 state (for --s2-from)")
+    ap.add_argument("--tag", default=None,
+                    help="override the snapshot filename tag")
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -232,6 +242,8 @@ def main():
         # reference scale: 480x640 (README.md:142-152), real multi-camera
         # parallax (4 cameras, 2.2-unit baseline circle)
         hw, cams, trajs, frames = (480, 640), 4, 4, 6
+        if args.hw:
+            hw = tuple(int(x) for x in args.hw.lower().split("x"))
 
     scene = Path(args.scene)
     if not (scene / "transforms.json").exists():
@@ -266,7 +278,8 @@ def main():
         with open(args.eval_snapshot, "rb") as f:
             variables = pickle.load(f)
         result = {"mode": args.mode, "knots": list(knots),
-                  "eval_snapshot": args.eval_snapshot, "hw": list(host["hw"])}
+                  "eval_snapshot": args.eval_snapshot, "hw": list(host["hw"]),
+                  "tag": args.tag}
         metrics = evaluate_scene(model, variables, ds,
                                  num_views=2 if args.smoke else 6,
                                  patch_size=2048 if args.smoke else 4096,
@@ -277,19 +290,38 @@ def main():
             f.write(json.dumps(result) + "\n")
         return
 
-    state1, s1_loss = run_training(model, ds, host, dev, "perception",
-                                   args.s1_steps, args.batch, args.seed)
+    import pickle
+
+    tag = args.tag or f"{args.mode}_{'-'.join(map(str, knots))}_{args.s1_steps}_seed{args.seed}"
     result = {"mode": args.mode, "knots": list(knots),
               "s1_steps": args.s1_steps, "s2_steps": args.s2_steps,
               "samples": args.samples, "hw": list(host["hw"]),
-              "s1_final_loss": round(s1_loss, 5)}
-
-    final = state1
+              "seed": args.seed}
+    if args.s2_from:
+        with open(args.s2_from, "rb") as f:
+            warm = pickle.load(f)
+        state1 = None
+        s1_params = warm["params"]
+        s1_stats = warm.get("batch_stats")
+        result["s2_from"] = args.s2_from
+        final = None
+    else:
+        state1, s1_loss = run_training(model, ds, host, dev, "perception",
+                                       args.s1_steps, args.batch, args.seed)
+        result["s1_final_loss"] = round(s1_loss, 5)
+        s1_params = jax.device_get(state1.params)
+        s1_stats = (jax.device_get(state1.batch_stats)
+                    if state1.batch_stats is not None else None)
+        if args.snapshot_s1:
+            s1_snap = Path(args.out).parent / f"njf_epi_s1_{tag}.pkl"
+            with open(s1_snap, "wb") as f:
+                pickle.dump({"params": s1_params, "batch_stats": s1_stats}, f)
+            print(f"stage-1 snapshot -> {s1_snap}", flush=True)
+        final = state1
     if args.s2_steps > 0:
         state2, s2_loss = run_training(
             model, ds, host, dev, "action", args.s2_steps, args.batch,
-            args.seed, init_params=jax.device_get(state1.params),
-            init_batch_stats=jax.device_get(state1.batch_stats))
+            args.seed, init_params=s1_params, init_batch_stats=s1_stats)
         result["s2_final_loss"] = round(s2_loss, 6)
         final = state2
 
@@ -298,9 +330,6 @@ def main():
         variables["batch_stats"] = final.batch_stats
     # snapshot the trained params BEFORE eval: a crashed eval must never
     # cost the (much longer) training re-run
-    import pickle
-
-    tag = f"{args.mode}_{'-'.join(map(str, knots))}_{args.s1_steps}"
     snap = Path(args.out).parent / f"njf_epi_params_{tag}.pkl"
     with open(snap, "wb") as f:
         pickle.dump(jax.device_get(variables), f)

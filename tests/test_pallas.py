@@ -167,3 +167,34 @@ def test_fused_resnet_fc_train_parity():
     assert any(k.startswith("lin_z_") and k.endswith("bias") for k in fd)
     for k in fd:
         assert frob_rel(fd[k], fb[k]) < 0.02, (k, frob_rel(fd[k], fb[k]))
+
+
+def test_conv3x3_kernels_match_xla():
+    """K8 pricing prototype (ops/pallas/conv3x3.py): fwd + wgrad parity vs
+    XLA's conv at a layer2-like shape, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_jacobian_field_tpu.ops.pallas.conv3x3 import (
+        conv3x3_fwd_pallas, conv3x3_wgrad_pallas)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 128, 128)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 12, 16, 128)), jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = conv3x3_fwd_pallas(x, w, rb=6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f(w):
+        return jnp.sum(jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) * g)
+
+    dw_ref = jax.grad(f)(w)
+    dw = conv3x3_wgrad_pallas(x, g, rb=6, interpret=True)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)
