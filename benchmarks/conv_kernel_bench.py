@@ -74,12 +74,15 @@ def main():
         return xla_fwd(g, wt)
 
     def xla_wgrad(x, g):
+        # vjp through a bf16 conv (what the train step's bwd actually runs;
+        # preferred_element_type f32 would force an f32 transpose-conv that
+        # lax rejects on dtype mismatch with the bf16 primal)
         def f(w):
-            return jnp.sum(jax.lax.conv_general_dilated(
+            return jax.lax.conv_general_dilated(
                 x, w, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32) * g.astype(jnp.float32))
-        return jax.grad(f)(jnp.zeros((3, 3, C, C), jnp.bfloat16))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        _, vjp = jax.vjp(f, jnp.zeros((3, 3, C, C), jnp.bfloat16))
+        return vjp(g)[0]
 
     def pallas_dgrad(g, w):
         wt = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)

@@ -1,0 +1,146 @@
+"""Device-trace bucket analysis of the steady-state train step.
+
+Reproduces the "where the step goes" tables in RESULTS.md as a committed
+tool (the r3 versions were /tmp one-offs): traces N steady-state steps of
+the flagship bench workload (same model/shape/gate mix as bench.py's
+headline metric), parses the xplane protobuf, and prints
+
+  1. total device-busy time grouped by HLO category ("convolution fusion",
+     "data formatting", "custom-call", ...), per step
+  2. the top individual ops inside the categories under attack, with their
+     HLO names so the producing op can be located in the lowering.
+
+Usage: python benchmarks/trace_buckets.py [--steps 12] [--category "data formatting"]
+       [--top 25] [--logdir /tmp/njf_trace]
+"""
+
+import argparse
+import collections
+import glob
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+
+def capture(logdir: str, steps: int):
+    import bench  # repo-root bench.py: flagship workload builders
+
+    from neural_jacobian_field_tpu.training import (
+        TrainCfg, create_train_state, host_step_schedule, make_train_step,
+    )
+
+    key = jax.random.PRNGKey(0)
+    model = bench._flagship_model()
+    batch = bench._raw_batch(key)
+    cfg = TrainCfg(mode="perception", rays_per_batch=bench.RAYS,
+                   warm_up_steps=10000)
+    state = create_train_state(key, model, batch, cfg)
+    fns = {
+        True: make_train_step(model, cfg, donate=True, static_updated=True),
+        False: make_train_step(model, cfg, donate=True, static_updated=False),
+    }
+    ssu = 1
+    sched = []
+    for i in range(6 * ((steps // 6) + 2)):
+        up, ssu = host_step_schedule(20000 + i, ssu, model.cfg.rendering)
+        sched.append(up)
+
+    # compile/warm both variants outside the trace
+    for up in (True, False):
+        state, metrics = fns[up](state, batch, jax.random.PRNGKey(10))
+        bench._sync(metrics["loss/total"])
+
+    with jax.profiler.trace(logdir):
+        m = None
+        for i in range(steps):
+            state, m = fns[sched[i % len(sched)]](
+                state, batch, jax.random.PRNGKey(100 + i))
+        bench._sync(m["loss/total"])
+
+
+def load_xspace(logdir: str):
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: in-env
+
+    paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {logdir}")
+    xspace = xplane_pb2.XSpace()
+    xspace.ParseFromString(Path(paths[-1]).read_bytes())
+    return xspace
+
+
+def stat_dict(plane, event):
+    out = {}
+    for stat in event.stats:
+        meta = plane.stat_metadata[stat.metadata_id]
+        if stat.str_value:
+            out[meta.name] = stat.str_value
+        elif stat.ref_value:
+            out[meta.name] = plane.stat_metadata[stat.ref_value].name
+        elif stat.double_value:
+            out[meta.name] = stat.double_value
+        else:
+            out[meta.name] = stat.int64_value or stat.uint64_value
+    return out
+
+
+def analyze(xspace, steps: int, focus: str, top: int):
+    # device planes: pick the ones whose name mentions TPU (axon tunnel
+    # exposes "/device:TPU:0"-style planes); XLA op lines carry events whose
+    # metadata name is the HLO op and whose stats include the category.
+    per_cat = collections.Counter()
+    per_op = collections.defaultdict(lambda: [0.0, 0, "", ""])
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "XLA Op" not in line.name:
+                continue
+            for ev in line.events:
+                meta = plane.event_metadata[ev.metadata_id]
+                stats = stat_dict(plane, ev)
+                cat = str(stats.get("hlo_category", stats.get("category", "?")))
+                dur = ev.duration_ps / 1e12 if ev.duration_ps else 0.0
+                per_cat[cat] += dur
+                rec = per_op[meta.name]
+                rec[0] += dur
+                rec[1] += 1
+                rec[2] = cat
+                rec[3] = str(stats.get("hlo_expression", ""))[:220]
+    total = sum(per_cat.values())
+    print(f"\n== device busy: {total*1e3:.1f} ms over {steps} steps "
+          f"=> {total*1e3/steps:.2f} ms/step ==")
+    for cat, dur in per_cat.most_common():
+        print(json.dumps({"category": cat, "ms_per_step": round(dur * 1e3 / steps, 3),
+                          "pct": round(100 * dur / total, 1)}))
+    print(f"\n== top {top} ops" + (f" in category ~'{focus}'" if focus else "") + " ==")
+    rows = [(v[0], k, v) for k, v in per_op.items()
+            if not focus or focus.lower() in v[2].lower()]
+    for dur, name, (d, n, cat, expr) in sorted(rows, reverse=True)[:top]:
+        print(json.dumps({"op": name, "ms_per_step": round(d * 1e3 / steps, 3),
+                          "count": n, "category": cat, "expr": expr}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--category", default="data formatting")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--logdir", default="/tmp/njf_trace")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip capture; parse an existing --logdir")
+    args = ap.parse_args()
+    if not args.parse_only:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path.home() / ".cache" / "njf_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        capture(args.logdir, args.steps)
+    analyze(load_xspace(args.logdir), args.steps, args.category, args.top)
+
+
+if __name__ == "__main__":
+    main()
