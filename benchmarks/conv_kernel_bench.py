@@ -30,8 +30,14 @@ def _sync(x):
     return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
-def bench(fn, *args, iters=30):
-    """Chain fn on-device via fori_loop so nothing is elided."""
+def bench(fn, *args, iters=100):
+    """Chain fn on-device via fori_loop so nothing is elided.
+
+    The chained jit returns a SCALAR: pulling the full activation array
+    over the axon tunnel (~100 MB/s) costs more than the compute being
+    measured and was the r4 first-draft bug here (8.6 MB x [7,60,80,128]
+    bf16 read ~2-7 ms/iter of pure transfer into the 'conv' time).
+    """
 
     @jax.jit
     def chained(x0, *rest):
@@ -41,10 +47,9 @@ def bench(fn, *args, iters=30):
             return x + 1e-6 * y.astype(x.dtype) if y.shape == x.shape \
                 else x + 1e-6 * jnp.mean(y).astype(x.dtype)
 
-        return jax.lax.fori_loop(0, iters, body, x0)
+        return jnp.mean(jax.lax.fori_loop(0, iters, body, x0))
 
-    out = chained(*args)
-    _sync(out)
+    _sync(chained(*args))
     t0 = time.perf_counter()
     _sync(chained(*args))
     per = (time.perf_counter() - t0) / iters

@@ -13,11 +13,13 @@ run() {
     2>&1 | tail -3
 }
 
+# round-robin across cells so a truncated queue still leaves balanced
+# seed counts (the box restarted mid-queue once already)
 run --mode exact --seed 2 --tag exact-s2
 run --mode epipolar --knots 32,8,4 --seed 1
-run --mode epipolar --knots 32,8,4 --seed 2
-run --mode epipolar --knots 32,8,4 --seed 3
-run --mode epipolar --knots 64,16,8 --seed 3
 run --mode epipolar --knots 96,24,12 --seed 2
+run --mode epipolar --knots 64,16,8 --seed 3
+run --mode epipolar --knots 32,8,4 --seed 2
 run --mode epipolar --knots 96,24,12 --seed 3
+run --mode epipolar --knots 32,8,4 --seed 3
 echo QUEUE-DONE

@@ -63,7 +63,10 @@ def capture(logdir: str, steps: int):
 
 
 def load_xspace(logdir: str):
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa: in-env
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: in-env
+    except ImportError:  # proto moved across TF versions
+        from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa
 
     paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
     if not paths:
@@ -89,28 +92,30 @@ def stat_dict(plane, event):
 
 
 def analyze(xspace, steps: int, focus: str, top: int):
-    # device planes: pick the ones whose name mentions TPU (axon tunnel
-    # exposes "/device:TPU:0"-style planes); XLA op lines carry events whose
-    # metadata name is the HLO op and whose stats include the category.
+    # The per-op category/flops/bytes live on the EVENT METADATA's stats
+    # (hlo_category, flops, bytes_accessed, shape_with_layout), not the
+    # event's own stats (those carry only device offsets). Only the exact
+    # "XLA Ops" line counts — "Async XLA Ops" overlaps it and would double-
+    # count every DMA.
     per_cat = collections.Counter()
     per_op = collections.defaultdict(lambda: [0.0, 0, "", ""])
     for plane in xspace.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "XLA Op" not in line.name:
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 meta = plane.event_metadata[ev.metadata_id]
-                stats = stat_dict(plane, ev)
-                cat = str(stats.get("hlo_category", stats.get("category", "?")))
+                mstats = stat_dict(plane, meta)
+                cat = str(mstats.get("hlo_category", "?"))
                 dur = ev.duration_ps / 1e12 if ev.duration_ps else 0.0
                 per_cat[cat] += dur
-                rec = per_op[meta.name]
+                rec = per_op[meta.display_name or meta.name]
                 rec[0] += dur
                 rec[1] += 1
                 rec[2] = cat
-                rec[3] = str(stats.get("hlo_expression", ""))[:220]
+                rec[3] = str(meta.name)[:220]
     total = sum(per_cat.values())
     print(f"\n== device busy: {total*1e3:.1f} ms over {steps} steps "
           f"=> {total*1e3/steps:.2f} ms/step ==")
