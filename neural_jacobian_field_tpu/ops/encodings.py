@@ -34,13 +34,22 @@ def nerf_positional_encoding(
       out[..., d*F:2*d*F]  = cos(...)
       out[..., 2*d*F:]     = x  (if include_input)
     """
+    # Compute in flat 2-D [N, d]: on 3-D [B, N, C] operands XLA's layout
+    # assignment picks sample-minor {1,2,0} layouts for the sine/concat
+    # chain and then inserts a [B, N, 63] relayout copy at the (default-
+    # layout-pinned) Pallas trunk boundary — AFTER the 3->63 channel
+    # expansion. Flat 2-D keeps the whole chain in {1,0}; any relayout of
+    # the 3-channel input is ~20x cheaper than one of the 63-channel
+    # output (r4 trace: maximum_convert_fusion copies, 0.31 ms/step).
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
     freqs = 2.0 ** jnp.linspace(min_freq_exp, max_freq_exp, num_frequencies, dtype=x.dtype)
-    scaled = (2.0 * math.pi) * x[..., None] * freqs  # [..., d, F]
-    scaled = scaled.reshape(*scaled.shape[:-2], -1)  # [..., d*F]
+    scaled = (2.0 * math.pi) * x2[..., None] * freqs  # [N, d, F]
+    scaled = scaled.reshape(scaled.shape[0], -1)  # [N, d*F]
     enc = jnp.sin(jnp.concatenate([scaled, scaled + 0.5 * math.pi], axis=-1))
     if include_input:
-        enc = jnp.concatenate([enc, x], axis=-1)
-    return enc
+        enc = jnp.concatenate([enc, x2], axis=-1)
+    return enc.reshape(*lead, enc.shape[-1])
 
 
 # Hard-coded real SH basis constants (degree <= 3, i.e. 4 levels / 16 coeffs),
@@ -54,7 +63,9 @@ def sh_encoding_deg4(directions_01: jax.Array) -> jax.Array:
         get_normalized_directions first, action_decoder_jacobian.py:24-30).
     Returns [..., 16].
     """
-    d = directions_01 * 2.0 - 1.0  # back to [-1, 1]
+    lead = directions_01.shape[:-1]
+    d = directions_01.reshape(-1, directions_01.shape[-1])  # flat 2-D: see
+    d = d * 2.0 - 1.0  # back to [-1, 1]   # nerf_positional_encoding's note
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
@@ -77,4 +88,4 @@ def sh_encoding_deg4(directions_01: jax.Array) -> jax.Array:
         1.4453057213202769 * z * (xx - yy),
         0.59004358992664352 * x * (-xx + 3.0 * yy),
     ]
-    return jnp.stack(out, axis=-1)
+    return jnp.stack(out, axis=-1).reshape(*lead, 16)
