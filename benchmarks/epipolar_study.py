@@ -161,14 +161,15 @@ def make_fused_step(model, cfg, ds, mode):
 
 
 def run_training(model, ds, host, dev, mode, steps, batch, seed,
-                 init_params=None, init_batch_stats=None, log_every=500):
+                 init_params=None, init_batch_stats=None, log_every=500,
+                 rays=256):
     from neural_jacobian_field_tpu.training import (
         RawBatch, TrainCfg, create_train_state,
     )
 
     rng = np.random.default_rng(seed)
     sampler = make_sampler(ds, host, batch, mode, rng)
-    cfg = TrainCfg(mode=mode, rays_per_batch=256,
+    cfg = TrainCfg(mode=mode, rays_per_batch=rays,
                    lr=1e-4 if mode == "action" else 5e-4,
                    warm_up_steps=max(1, min(1000, steps // 4)))
     sel0 = sampler()
@@ -204,6 +205,11 @@ def main():
     ap.add_argument("--s2-steps", type=int, default=6000)
     ap.add_argument("--batch", type=int, default=7)
     ap.add_argument("--samples", type=int, default=256)
+    ap.add_argument("--rays", type=int, default=256,
+                    help="rays per image per step; the exact-mode "
+                    "gradient-variance causal test doubles this (the "
+                    "reference's DDP training has a 4-8x larger effective "
+                    "ray batch than one chip)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/njf_epi_study.jsonl")
     ap.add_argument("--smoke", action="store_true",
@@ -292,11 +298,13 @@ def main():
 
     import pickle
 
-    tag = args.tag or f"{args.mode}_{'-'.join(map(str, knots))}_{args.s1_steps}_seed{args.seed}"
+    tag = args.tag or (f"{args.mode}_{'-'.join(map(str, knots))}_"
+                       f"{args.s1_steps}_seed{args.seed}"
+                       + (f"_rays{args.rays}" if args.rays != 256 else ""))
     result = {"mode": args.mode, "knots": list(knots),
               "s1_steps": args.s1_steps, "s2_steps": args.s2_steps,
               "samples": args.samples, "hw": list(host["hw"]),
-              "seed": args.seed}
+              "seed": args.seed, "rays": args.rays}
     if args.s2_from:
         with open(args.s2_from, "rb") as f:
             warm = pickle.load(f)
@@ -307,7 +315,8 @@ def main():
         final = None
     else:
         state1, s1_loss = run_training(model, ds, host, dev, "perception",
-                                       args.s1_steps, args.batch, args.seed)
+                                       args.s1_steps, args.batch, args.seed,
+                                       rays=args.rays)
         result["s1_final_loss"] = round(s1_loss, 5)
         s1_params = jax.device_get(state1.params)
         s1_stats = (jax.device_get(state1.batch_stats)
@@ -321,7 +330,8 @@ def main():
     if args.s2_steps > 0:
         state2, s2_loss = run_training(
             model, ds, host, dev, "action", args.s2_steps, args.batch,
-            args.seed, init_params=s1_params, init_batch_stats=s1_stats)
+            args.seed, init_params=s1_params, init_batch_stats=s1_stats,
+            rays=args.rays)
         result["s2_final_loss"] = round(s2_loss, 6)
         final = state2
 

@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 
 
-def capture(logdir: str, steps: int):
+def capture(logdir: str, steps: int, mode: str = "perception"):
     import bench  # repo-root bench.py: flagship workload builders
 
     from neural_jacobian_field_tpu.training import (
@@ -35,22 +35,29 @@ def capture(logdir: str, steps: int):
 
     key = jax.random.PRNGKey(0)
     model = bench._flagship_model()
-    batch = bench._raw_batch(key)
-    cfg = TrainCfg(mode="perception", rays_per_batch=bench.RAYS,
+    batch = bench._raw_batch(key, mode=mode)
+    cfg = TrainCfg(mode=mode, rays_per_batch=bench.RAYS,
                    warm_up_steps=10000)
     state = create_train_state(key, model, batch, cfg)
-    fns = {
-        True: make_train_step(model, cfg, donate=True, static_updated=True),
-        False: make_train_step(model, cfg, donate=True, static_updated=False),
-    }
-    ssu = 1
-    sched = []
-    for i in range(6 * ((steps // 6) + 2)):
-        up, ssu = host_step_schedule(20000 + i, ssu, model.cfg.rendering)
-        sched.append(up)
+    if mode == "action":
+        # action stage: single program, no proposal-gate schedule
+        # (bench._train_metric's non-perception branch)
+        fn = make_train_step(model, cfg, donate=True)
+        fns = {True: fn, False: fn}
+        sched = [True]
+    else:
+        fns = {
+            True: make_train_step(model, cfg, donate=True, static_updated=True),
+            False: make_train_step(model, cfg, donate=True, static_updated=False),
+        }
+        ssu = 1
+        sched = []
+        for i in range(6 * ((steps // 6) + 2)):
+            up, ssu = host_step_schedule(20000 + i, ssu, model.cfg.rendering)
+            sched.append(up)
 
     # compile/warm both variants outside the trace
-    for up in (True, False):
+    for up in sorted(set(sched)):
         state, metrics = fns[up](state, batch, jax.random.PRNGKey(10))
         bench._sync(metrics["loss/total"])
 
@@ -63,10 +70,23 @@ def capture(logdir: str, steps: int):
 
 
 def load_xspace(logdir: str):
-    try:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: in-env
-    except ImportError:  # proto moved across TF versions
-        from tensorflow.core.profiler.protobuf import xplane_pb2  # noqa
+    # The xplane proto lives at tensorflow.tsl.… in this env. Importing full
+    # TF inside a process that has been training can fail transiently (TF
+    # init under memory pressure raises ImportError); the old fallback chain
+    # then masked the real error with a bogus ModuleNotFoundError. Try each
+    # known location and report ALL failures if none import.
+    errors = []
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf",
+                "tensorflow.core.profiler.protobuf",
+                "tsl.profiler.protobuf"):
+        try:
+            xplane_pb2 = __import__(mod + ".xplane_pb2", fromlist=["xplane_pb2"])
+            break
+        except Exception as e:  # noqa: BLE001 — TF init can raise anything
+            errors.append(f"{mod}: {type(e).__name__}: {e}")
+    if xplane_pb2 is None:
+        raise ImportError("no xplane_pb2 importable:\n  " + "\n  ".join(errors))
 
     paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
     if not paths:
@@ -136,6 +156,8 @@ def main():
     ap.add_argument("--category", default="data formatting")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default="/tmp/njf_trace")
+    ap.add_argument("--mode", default="perception",
+                    choices=("perception", "action"))
     ap.add_argument("--parse-only", action="store_true",
                     help="skip capture; parse an existing --logdir")
     args = ap.parse_args()
@@ -143,7 +165,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           str(Path.home() / ".cache" / "njf_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        capture(args.logdir, args.steps)
+        capture(args.logdir, args.steps, args.mode)
     analyze(load_xspace(args.logdir), args.steps, args.category, args.top)
 
 

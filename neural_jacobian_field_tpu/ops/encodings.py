@@ -5,6 +5,13 @@ the reference (action_decoder_jacobian.py:275-284, density_decoder.py:31-38).
 Both are small closed-form polynomials / trig maps — on TPU the right design
 is a plain vectorized jnp expression that XLA fuses into the consuming matmul,
 not a standalone kernel.
+
+Keep these shape-polymorphic (no internal flatten): computing in flat 2-D and
+reshaping back (tried in r4, commit 79a8c4d) removes ~1.1 ms/step of relayout
+copies at the Pallas-trunk boundary in the perception step but the reshape
+pair breaks fusion into the action decoders' batched einsum consumers —
+measured -10.6% action-flow / -5.2% tracks throughput at no perception gain
+(same-day A/B, benchmarks/RESULTS.md "flat-2-D encodings attempt").
 """
 
 import math
@@ -34,22 +41,13 @@ def nerf_positional_encoding(
       out[..., d*F:2*d*F]  = cos(...)
       out[..., 2*d*F:]     = x  (if include_input)
     """
-    # Compute in flat 2-D [N, d]: on 3-D [B, N, C] operands XLA's layout
-    # assignment picks sample-minor {1,2,0} layouts for the sine/concat
-    # chain and then inserts a [B, N, 63] relayout copy at the (default-
-    # layout-pinned) Pallas trunk boundary — AFTER the 3->63 channel
-    # expansion. Flat 2-D keeps the whole chain in {1,0}; any relayout of
-    # the 3-channel input is ~20x cheaper than one of the 63-channel
-    # output (r4 trace: maximum_convert_fusion copies, 0.31 ms/step).
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
     freqs = 2.0 ** jnp.linspace(min_freq_exp, max_freq_exp, num_frequencies, dtype=x.dtype)
-    scaled = (2.0 * math.pi) * x2[..., None] * freqs  # [N, d, F]
-    scaled = scaled.reshape(scaled.shape[0], -1)  # [N, d*F]
+    scaled = (2.0 * math.pi) * x[..., None] * freqs  # [..., d, F]
+    scaled = scaled.reshape(*scaled.shape[:-2], -1)  # [..., d*F]
     enc = jnp.sin(jnp.concatenate([scaled, scaled + 0.5 * math.pi], axis=-1))
     if include_input:
-        enc = jnp.concatenate([enc, x2], axis=-1)
-    return enc.reshape(*lead, enc.shape[-1])
+        enc = jnp.concatenate([enc, x], axis=-1)
+    return enc
 
 
 # Hard-coded real SH basis constants (degree <= 3, i.e. 4 levels / 16 coeffs),
@@ -63,9 +61,7 @@ def sh_encoding_deg4(directions_01: jax.Array) -> jax.Array:
         get_normalized_directions first, action_decoder_jacobian.py:24-30).
     Returns [..., 16].
     """
-    lead = directions_01.shape[:-1]
-    d = directions_01.reshape(-1, directions_01.shape[-1])  # flat 2-D: see
-    d = d * 2.0 - 1.0  # back to [-1, 1]   # nerf_positional_encoding's note
+    d = directions_01 * 2.0 - 1.0  # back to [-1, 1]
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
@@ -88,4 +84,4 @@ def sh_encoding_deg4(directions_01: jax.Array) -> jax.Array:
         1.4453057213202769 * z * (xx - yy),
         0.59004358992664352 * x * (-xx + 3.0 * yy),
     ]
-    return jnp.stack(out, axis=-1).reshape(*lead, 16)
+    return jnp.stack(out, axis=-1)
