@@ -40,11 +40,33 @@ SAMPLES = (256, 256)
 ACTION_DIM = 8
 
 
-def _emit(metric, value, unit, vs_baseline=None):
+def _emit(metric, value, unit, vs_baseline=None, spread=None):
     line = {"metric": metric, "value": round(float(value), 1), "unit": unit}
     if vs_baseline is not None:
         line["vs_baseline"] = round(float(vs_baseline), 3)
+    if spread is not None:
+        # repeat-N evidence (VERDICT r4 item 3): median is `value`; spread
+        # carries the raw per-repeat samples so a regression is adjudicable
+        line["spread"] = {
+            "min": round(float(min(spread)), 1),
+            "max": round(float(max(spread)), 1),
+            "pct": round(100.0 * (max(spread) - min(spread))
+                         / float(np.median(spread)), 1),
+            "n": len(spread),
+        }
     print(json.dumps(line), flush=True)
+
+
+def _repeat_timed(run_sync, k, repeats=5):
+    """Time `repeats` independent chains of k dispatches each; return the
+    list of per-item seconds. run_sync(i) must dispatch k units of work and
+    SYNC before returning (scalar pull)."""
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        run_sync(r)
+        times.append((time.perf_counter() - t0) / k)
+    return times
 
 
 def _sync(x):
@@ -335,13 +357,11 @@ def bench_field_queries():
 
     a = jnp.full((1, ACTION_DIM), 0.01)
     _sync(chain(a)[1])
-    t0 = time.perf_counter()
-    _, outs = chain(a)
-    _sync(outs)
-    per = (time.perf_counter() - t0) / k
-    _emit("field_queries_per_sec", rays * samples / per,
+    times = _repeat_timed(lambda r: _sync(chain(a)[1]), k, repeats=5)
+    rates = [rays * samples / t for t in times]
+    _emit("field_queries_per_sec", float(np.median(rates)),
           f"cached J-contractions/s ({rays} rays x {samples} samples, "
-          f"{k}-query on-device chain)")
+          f"median of 5x {k}-query on-device chains)", spread=rates)
 
 
 def bench_inverse_dynamics():
@@ -358,14 +378,18 @@ def bench_inverse_dynamics():
 
     _sync(run(0).action)
     k = 5
-    t0 = time.perf_counter()
-    out = None
-    for i in range(k):
-        out = run(1 + i)
-    _sync(out.action)
-    per = (time.perf_counter() - t0) / k
-    _emit("inverse_dynamics_ms", per * 1000,
-          f"ms per 100-iter Adam solve ({rays} rays, cached field)")
+
+    def one_chain(r):
+        out = None
+        for i in range(k):
+            out = run(1 + k * r + i)
+        _sync(out.action)
+
+    times = _repeat_timed(one_chain, k, repeats=5)
+    ms = [t * 1000 for t in times]
+    _emit("inverse_dynamics_ms", float(np.median(ms)),
+          f"ms per 100-iter Adam solve ({rays} rays, cached field, "
+          f"median of 5x {k}-solve chains)", spread=ms)
 
 
 def main():

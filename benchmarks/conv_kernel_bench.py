@@ -5,7 +5,7 @@ Compares XLA's conv lowering against the K8 prototype
 spatially-flipped transposed kernel — same kernel structure as fwd), and
 wgrad, at the r3 trace's biggest single conv cost:
 x [7, 60, 80, 128] (layer2 activations at 480x640) x w [3, 3, 128, 128],
-bf16 inputs / f32 accum, 30-iteration on-device chains, data-pull sync.
+bf16 inputs / f32 accum, 100-iteration on-device chains, scalar-pull sync.
 
 Prints one JSON line per (op, impl): {"op", "impl", "ms", "tflops"}.
 """

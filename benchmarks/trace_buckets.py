@@ -100,14 +100,19 @@ def stat_dict(plane, event):
     out = {}
     for stat in event.stats:
         meta = plane.stat_metadata[stat.metadata_id]
-        if stat.str_value:
+        # discriminate by the populated oneof, not truthiness: a 0.0 double
+        # or ref id 0 must not fall through to the int64 branch
+        which = stat.WhichOneof("value")
+        if which == "str_value":
             out[meta.name] = stat.str_value
-        elif stat.ref_value:
+        elif which == "ref_value":
             out[meta.name] = plane.stat_metadata[stat.ref_value].name
-        elif stat.double_value:
+        elif which == "double_value":
             out[meta.name] = stat.double_value
+        elif which == "uint64_value":
+            out[meta.name] = stat.uint64_value
         else:
-            out[meta.name] = stat.int64_value or stat.uint64_value
+            out[meta.name] = stat.int64_value
     return out
 
 
@@ -119,8 +124,17 @@ def analyze(xspace, steps: int, focus: str, top: int):
     # count every DMA.
     per_cat = collections.Counter()
     per_op = collections.defaultdict(lambda: [0.0, 0, "", ""])
+    dev_planes = [p.name for p in xspace.planes
+                  if "TPU" in p.name or "device" in p.name.lower()]
+    # durations are SUMMED across device planes; on a multi-core trace the
+    # per-step ms would be inflated by the plane count — say so loudly
+    # (this box is 1-core, so normally len == 1)
+    if len(dev_planes) != 1:
+        print(f"WARNING: aggregating {len(dev_planes)} device planes "
+              f"{dev_planes}; per-step ms is the SUM across planes",
+              file=sys.stderr)
     for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
+        if plane.name not in dev_planes:
             continue
         for line in plane.lines:
             if line.name != "XLA Ops":

@@ -42,8 +42,10 @@ def run_one(name: str, flags: str):
     env = dict(os.environ)
     if flags:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-    # fresh compile: unknown flags change HLO->binary, and the persistent
-    # cache keys on the compile options, so no cross-contamination
+    # per-config fresh cache dir: if a swept flag were NOT captured in the
+    # persistent cache key, the run would silently reuse a baseline-compiled
+    # executable and null the A/B — don't rely on key coverage (r4 advisor)
+    env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/njf_sweep_cache_{name}"
     p = subprocess.run(
         [sys.executable, "bench.py", "train_perception"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800,

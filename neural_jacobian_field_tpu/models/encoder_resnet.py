@@ -40,6 +40,13 @@ class EncoderResnetCfg:
     # (encoder_resnet.py:78-86) — bit-path parity mode. Requires num_layers=4
     # for "pyramid".
     feature_layout: str = "pyramid"
+    # "pallas": route every BasicBlock 3x3 through the K9 fused-K Pallas
+    # kernels and every 1x1 downsample through the conv-free einsum path
+    # (ops/pallas/conv_suite.py) — NHWC-native grads, no conv-backward
+    # layout churn. Unsupported shapes fall back to XLA per conv. The stem
+    # 7x7 + max-pool stay on XLA either way (r3: strided-stem relowering
+    # measured 2.4-2.7x worse).
+    conv_impl: str = "xla"  # xla | pallas
 
 
 # ResNet-34 stage spec: (num_blocks, channels) per layer.
@@ -62,6 +69,40 @@ def _norm(norm_type: str, dtype, name: str):
     raise ValueError(f"unknown norm_type: {norm_type}")
 
 
+class _ConvK9(nn.Module):
+    """Drop-in nn.Conv replacement routing through the K9 Pallas conv suite
+    (ops/pallas/conv_suite.py). Param tree is identical to nn.Conv
+    ({name}/kernel, HWIO, f32 params) so checkpoints are interchangeable
+    between conv_impl settings. Off-family shapes fall back to the same
+    lax.conv_general_dilated call nn.Conv would emit."""
+
+    features: int
+    kernel_size: int  # 3 (BasicBlock convs) or 1 (downsample projection)
+    strides: int
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas import conv_suite as k9
+
+        kernel = self.param(
+            "kernel", init.kaiming_normal_out,
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features))
+        dt = self.compute_dtype
+        if dt is not None:
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
+        if self.kernel_size == 1:
+            return k9.conv1x1(x, kernel, self.strides)
+        if k9.conv3x3_supported(x.shape, self.features, self.strides,
+                                dtype=x.dtype):
+            return k9.conv3x3(x, kernel, self.strides)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     """ResNet basic block (two 3x3 convs + identity/projection shortcut)."""
 
@@ -69,6 +110,7 @@ class BasicBlock(nn.Module):
     strides: int
     norm_type: str
     compute_dtype: Optional[jnp.dtype] = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,20 +125,24 @@ class BasicBlock(nn.Module):
                 return lambda v: layer(v, use_running_average=not train)
             return layer
 
+        def conv(name, ksize, strides):
+            if self.conv_impl == "pallas":
+                return _ConvK9(self.channels, ksize, strides,
+                               compute_dtype=dt, name=name)
+            return nn.Conv(self.channels, (ksize, ksize), strides=strides,
+                           padding=(ksize - 1) // 2, use_bias=False,
+                           kernel_init=init.kaiming_normal_out, dtype=dt,
+                           name=name)
+
         residual = x
-        y = nn.Conv(self.channels, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, kernel_init=init.kaiming_normal_out,
-                    dtype=dt, name="conv1")(x)
+        y = conv("conv1", 3, self.strides)(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), strides=1, padding=1, use_bias=False,
-                    kernel_init=init.kaiming_normal_out, dtype=dt, name="conv2")(y)
+        y = conv("conv2", 3, 1)(y)
         y = norm("bn2")(y)
 
         if needs_proj:
-            residual = nn.Conv(self.channels, (1, 1), strides=self.strides,
-                               use_bias=False, kernel_init=init.kaiming_normal_out,
-                               dtype=dt, name="downsample_conv")(x)
+            residual = conv("downsample_conv", 1, self.strides)(x)
             down_norm = norm("downsample_norm")
             residual = down_norm(residual)
 
@@ -151,6 +197,7 @@ class EncoderResnet(nn.Module):
                     strides=strides if block_idx == 0 else 1,
                     norm_type=cfg.norm_type,
                     compute_dtype=dt,
+                    conv_impl=cfg.conv_impl,
                     name=f"layer{stage_idx + 1}_block{block_idx}",
                 )(x, train=train)
             latents.append(x)
