@@ -162,7 +162,7 @@ def make_fused_step(model, cfg, ds, mode):
 
 def run_training(model, ds, host, dev, mode, steps, batch, seed,
                  init_params=None, init_batch_stats=None, log_every=500,
-                 rays=256):
+                 rays=256, grad_clip=None, enc_lr_scale=1.0):
     from neural_jacobian_field_tpu.training import (
         RawBatch, TrainCfg, create_train_state,
     )
@@ -171,7 +171,9 @@ def run_training(model, ds, host, dev, mode, steps, batch, seed,
     sampler = make_sampler(ds, host, batch, mode, rng)
     cfg = TrainCfg(mode=mode, rays_per_batch=rays,
                    lr=1e-4 if mode == "action" else 5e-4,
-                   warm_up_steps=max(1, min(1000, steps // 4)))
+                   warm_up_steps=max(1, min(1000, steps // 4)),
+                   grad_clip_norm=grad_clip,
+                   encoder_lr_scale=enc_lr_scale if mode == "perception" else 1.0)
     sel0 = sampler()
     h, w = host["hw"]
     raw0 = RawBatch(
@@ -226,6 +228,12 @@ def main():
                     help="also pickle the stage-1 state (for --s2-from)")
     ap.add_argument("--tag", default=None,
                     help="override the snapshot filename tag")
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="exact-mode stabilizer: optax global-norm grad clip "
+                    "(both stages)")
+    ap.add_argument("--enc-lr-scale", type=float, default=1.0,
+                    help="exact-mode stabilizer: stage-1 lr multiplier on "
+                    "encoder params")
     args = ap.parse_args()
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
@@ -304,7 +312,8 @@ def main():
     result = {"mode": args.mode, "knots": list(knots),
               "s1_steps": args.s1_steps, "s2_steps": args.s2_steps,
               "samples": args.samples, "hw": list(host["hw"]),
-              "seed": args.seed, "rays": args.rays}
+              "seed": args.seed, "rays": args.rays,
+              "grad_clip": args.grad_clip, "enc_lr_scale": args.enc_lr_scale}
     if args.s2_from:
         with open(args.s2_from, "rb") as f:
             warm = pickle.load(f)
@@ -316,7 +325,9 @@ def main():
     else:
         state1, s1_loss = run_training(model, ds, host, dev, "perception",
                                        args.s1_steps, args.batch, args.seed,
-                                       rays=args.rays)
+                                       rays=args.rays,
+                                       grad_clip=args.grad_clip,
+                                       enc_lr_scale=args.enc_lr_scale)
         result["s1_final_loss"] = round(s1_loss, 5)
         s1_params = jax.device_get(state1.params)
         s1_stats = (jax.device_get(state1.batch_stats)
@@ -331,7 +342,7 @@ def main():
         state2, s2_loss = run_training(
             model, ds, host, dev, "action", args.s2_steps, args.batch,
             args.seed, init_params=s1_params, init_batch_stats=s1_stats,
-            rays=args.rays)
+            rays=args.rays, grad_clip=args.grad_clip)
         result["s2_final_loss"] = round(s2_loss, 6)
         final = state2
 

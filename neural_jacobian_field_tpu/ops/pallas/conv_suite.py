@@ -5,19 +5,23 @@ at ~25% per-conv over XLA's lowering at the layer2 shape, and the round's
 bucket attribution showed ~2.0 ms/step of conv-backward layout churn that
 only NHWC-native grads can delete. This module is the full suite:
 
-  - `conv3x3(x, w, stride)` — 3x3 same-pad conv, stride 1 or 2, custom_vjp:
-      * fwd: fused-K Pallas kernel (all nine taps assembled into one
+  - `conv3x3(x, w, stride)` — 3x3 same-pad conv, NHWC end to end:
+      * stride 1 (custom_vjp, the 27-of-30 hot family):
+        fwd: fused-K Pallas kernel (all nine taps assembled into one
         [rows, 9C] x [9C, Cout] MXU matmul — the variant that measured
-        32.7 TFLOP/s vs XLA's 24.9 in benchmarks/conv_kernel_bench.py).
-      * dgrad (stride 1): the SAME fwd kernel on the rotated/transposed
-        weights (a stride-1 same-pad conv's input grad is itself such a
-        conv) — no XLA conv op, so none of the {3,2,1,0}<->{3,0,2,1}
-        layout copies its grad lowering inserts.
-      * dgrad (stride 2): a conv-free interleaved-einsum scatter (four
-        output phase images, 1/2/2/4 taps each) — XLA fuses the phase
-        interleave into the matmuls' epilogue.
-      * wgrad: fused assembly contracted against the cotangent, dW[9C,
+        32.7 TFLOP/s vs XLA's 24.9 in benchmarks/conv_kernel_bench.py);
+        dgrad: the SAME fwd kernel on the rotated/transposed weights (a
+        stride-1 same-pad conv's input grad is itself such a conv) — no
+        XLA conv op, so none of the {3,2,1,0}<->{3,0,2,1} layout copies
+        its grad lowering inserts;
+        wgrad: fused assembly contracted against the cotangent, dW[9C,
         Cout] accumulated across the sequential Pallas grid in f32.
+      * stride 2 (3 stage-entry convs per forward): a conv-free
+        phase-split einsum in plain XLA (pad once, nine strided-slice +
+        [C, Cout] matmul taps) — Mosaic cannot lower the in-kernel
+        decimation a fused-K stride-2 kernel needs (>2-D gather, measured
+        on-chip), and slice+einsum autodiff is already the NHWC-native
+        dgrad/wgrad pair with no conv op emitted.
   - `conv1x1(x, w, stride)` — strided slice + einsum (plain jnp): no
     lax.conv op is ever emitted, so XLA tiles it straight onto the MXU
     with no internal conv layouts; autodiff of slice+einsum is already
@@ -33,7 +37,8 @@ Layout notes (pallas_guide.md): blocks are NHWC with C on lanes and W on
 sublanes; halo rows are fetched as clamped neighbor-block views and
 zero-masked at the image border (K8's trick), so every tap becomes a
 zero-filled column shift — pure sublane moves, no gathers. Accumulation is
-always f32 (`preferred_element_type`).
+at least f32 (`preferred_element_type=promote(input, f32)` — f64 inputs
+keep f64 accumulation so the f64 parity tests are meaningful).
 """
 
 import functools
@@ -46,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------- helpers
 
 _VMEM_ASM_CAP = 6 * 1024 * 1024  # cap on the fused assembly buffer (bytes)
+
+
+def _acc_t(dtype):
+    """Accumulator type: at least f32, f64 for f64 inputs."""
+    return jnp.promote_types(dtype, jnp.float32)
 
 
 def _shift_cols(rows, dx):
@@ -105,7 +115,7 @@ def _s1_fwd_kernel(top_ref, mid_ref, bot_ref, w_ref, out_ref, *, rb, nrb):
         for dx in range(3):
             pieces.append(_shift_cols(rows, dx).reshape(rb * w, c))
     asm = jnp.concatenate(pieces, axis=-1)  # [RB*W, 9C], tap-major (dy*3+dx)
-    acc = jnp.dot(asm, w_ref[...], preferred_element_type=jnp.float32)
+    acc = jnp.dot(asm, w_ref[...], preferred_element_type=_acc_t(asm.dtype))
     out_ref[0] = acc.reshape(rb, w, -1).astype(out_ref.dtype)
 
 
@@ -133,7 +143,7 @@ def _s1_wgrad_kernel(top_ref, mid_ref, bot_ref, g_ref, out_ref, *, rb, nrb):
 
     out_ref[...] += jax.lax.dot_general(
         asm, gf, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -185,142 +195,40 @@ def _s1_wgrad(x, g, interpret=False):
         ],
         out_specs=pl.BlockSpec((9 * c, cout), lambda bi, r: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * c, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * c, cout), _acc_t(x.dtype)),
         interpret=interpret,
     )(x, x, x, g)
     return out.reshape(3, 3, c, cout)
 
 
-# ------------------------------------------------------- stride-2 kernels
+# --------------------------------------------------------- stride-2 path
+#
+# The stride-2 stage-entry convs (3 per forward) are NOT Pallas: Mosaic
+# cannot lower the column/row decimation a fused-K stride-2 kernel needs
+# (strided slicing inside the kernel becomes an unsupported >2-D gather;
+# measured on-chip r5). Instead: a conv-free phase-split einsum in plain
+# XLA — output (i, j) = sum_{dy,dx} x[2i+dy-1, 2j+dx-1] . w[dy, dx], so
+# after a 1-px top-left pad each tap is a strided slice + [C, Cout] matmul.
+# No lax.conv op is ever emitted (no conv layout churn), the nine matmuls
+# land on the MXU, and XLA autodiff of slice+einsum is already the
+# NHWC-native pad-scatter dgrad / slice-contract wgrad pair.
 
 
-def _s2_assemble(xblk, rbo, wo):
-    """xblk [2*RBo+1, W, C] -> fused assembly [RBo*Wo, 9C], tap-major.
-
-    Output (i, j) reads input (2i+dy-1, 2j+dx-1); xblk row 0 is input row
-    2*i0-1, so tap (dy, dx) is xblk[dy::2][:RBo] shifted by dx then
-    column-decimated.
-    """
-    c = xblk.shape[-1]
-    pieces = [None] * 9
-    for dx in range(3):
-        sh = _shift_cols(xblk, dx)[:, ::2]  # [2RBo+1, Wo, C]
-        for dy in range(3):
-            pieces[dy * 3 + dx] = sh[dy:dy + 2 * rbo:2].reshape(rbo * wo, c)
-    return jnp.concatenate(pieces, axis=-1)
-
-
-def _s2_fwd_kernel(top_ref, mid_ref, w_ref, out_ref, *, rbo, wo):
-    r = pl.program_id(1)
-    top = top_ref[0]  # [2RBo, W, C] block r-1 (clamped) — only its last row
-    mid = mid_ref[0]
-    zt = jnp.where(r == 0, 0.0, 1.0).astype(mid.dtype)
-    xblk = jnp.concatenate([top[-1:] * zt, mid], axis=0)  # [2RBo+1, W, C]
-    asm = _s2_assemble(xblk, rbo, wo)
-    acc = jnp.dot(asm, w_ref[...], preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(rbo, wo, -1).astype(out_ref.dtype)
-
-
-def _s2_wgrad_kernel(top_ref, mid_ref, g_ref, out_ref, *, rbo, wo):
-    bi = pl.program_id(0)
-    r = pl.program_id(1)
-    top = top_ref[0]
-    mid = mid_ref[0]
-    zt = jnp.where(r == 0, 0.0, 1.0).astype(mid.dtype)
-    xblk = jnp.concatenate([top[-1:] * zt, mid], axis=0)
-    asm = _s2_assemble(xblk, rbo, wo)           # [RBo*Wo, 9C]
-    gf = g_ref[0].reshape(rbo * wo, -1)          # [RBo*Wo, Cout]
-
-    @pl.when((bi == 0) & (r == 0))
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    out_ref[...] += jax.lax.dot_general(
-        asm, gf, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _s2_fwd(x, w, interpret=False):
+def _s2_phase_einsum(x, w):
     """x [B, H, W, C] (H, W even), w [3,3,C,Cout] -> [B, H/2, W/2, Cout]."""
-    interpret = interpret or jax.default_backend() != "tpu"
     b, h, wd, c = x.shape
     ho, wo = h // 2, wd // 2
-    rbo = _pick_rb(ho)
-    nrb = ho // rbo
-    cout = w.shape[-1]
-    wk = w.reshape(9 * c, cout).astype(x.dtype)
-    spec = lambda fn: pl.BlockSpec((1, 2 * rbo, wd, c), fn,
-                                   memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_s2_fwd_kernel, rbo=rbo, wo=wo),
-        grid=(b, nrb),
-        in_specs=[
-            spec(lambda bi, r: (bi, jnp.maximum(r - 1, 0), 0, 0)),
-            spec(lambda bi, r: (bi, r, 0, 0)),
-            pl.BlockSpec((9 * c, cout), lambda bi, r: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rbo, wo, cout), lambda bi, r: (bi, r, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, cout), x.dtype),
-        interpret=interpret,
-    )(x, x, wk)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _s2_wgrad(x, g, interpret=False):
-    """dW [3,3,C,Cout] f32 for the stride-2 conv (g at half resolution)."""
-    interpret = interpret or jax.default_backend() != "tpu"
-    b, h, wd, c = x.shape
-    ho, wo = h // 2, wd // 2
-    rbo = _pick_rb(ho)
-    nrb = ho // rbo
-    cout = g.shape[-1]
-    xspec = lambda fn: pl.BlockSpec((1, 2 * rbo, wd, c), fn,
-                                    memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_s2_wgrad_kernel, rbo=rbo, wo=wo),
-        grid=(b, nrb),
-        in_specs=[
-            xspec(lambda bi, r: (bi, jnp.maximum(r - 1, 0), 0, 0)),
-            xspec(lambda bi, r: (bi, r, 0, 0)),
-            pl.BlockSpec((1, rbo, wo, cout), lambda bi, r: (bi, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((9 * c, cout), lambda bi, r: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * c, cout), jnp.float32),
-        interpret=interpret,
-    )(x, x, g)
-    return out.reshape(3, 3, c, cout)
-
-
-def _s2_dgrad(g, w):
-    """Input grad of the stride-2 3x3 same-pad conv, conv-free.
-
-    dx[p, q] = sum_{dy,dx} w[dy, dx] . g[(p+1-dy)/2, (q+1-dx)/2] where the
-    division is exact; splitting dx into its four phase images (p%2, q%2)
-    turns the scatter into 1/2/2/4 shifted einsums per phase plus a cheap
-    interleave XLA fuses into the matmul epilogues.
-    """
-    b, ho, wo, _ = g.shape
-    c = w.shape[2]
-    gp = jnp.pad(g, ((0, 0), (0, 1), (0, 1), (0, 0)))
-
-    def tap(dy, dx, ry, rx):
-        return jnp.einsum("bhwo,co->bhwc", gp[:, ry:ry + ho, rx:rx + wo],
-                          w[dy, dx], preferred_element_type=jnp.float32)
-
-    ee = tap(1, 1, 0, 0)
-    eo = tap(1, 0, 0, 1) + tap(1, 2, 0, 0)
-    oe = tap(0, 1, 1, 0) + tap(2, 1, 0, 0)
-    oo = (tap(0, 0, 1, 1) + tap(0, 2, 1, 0)
-          + tap(2, 0, 0, 1) + tap(2, 2, 0, 0))
-    rows_e = jnp.stack([ee, eo], axis=3).reshape(b, ho, 2 * wo, c)
-    rows_o = jnp.stack([oe, oo], axis=3).reshape(b, ho, 2 * wo, c)
-    out = jnp.stack([rows_e, rows_o], axis=2).reshape(b, 2 * ho, 2 * wo, c)
-    return out.astype(g.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = jax.lax.slice(xp, (0, dy, dx, 0),
+                               (b, dy + 2 * ho, dx + 2 * wo, c),
+                               strides=(1, 2, 2, 1))
+            t = jnp.einsum("bhwc,co->bhwo", sl, w[dy, dx],
+                           preferred_element_type=_acc_t(x.dtype))
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
 
 
 # -------------------------------------------------------------- custom_vjp
@@ -345,23 +253,6 @@ def _conv_s1_b(res, g):
 _conv_s1.defvjp(_conv_s1_f, _conv_s1_b)
 
 
-@jax.custom_vjp
-def _conv_s2(x, w):
-    return _s2_fwd(x, w)
-
-
-def _conv_s2_f(x, w):
-    return _s2_fwd(x, w), (x, w)
-
-
-def _conv_s2_b(res, g):
-    x, w = res
-    return _s2_dgrad(g, w), _s2_wgrad(x, g).astype(w.dtype)
-
-
-_conv_s2.defvjp(_conv_s2_f, _conv_s2_b)
-
-
 # ----------------------------------------------------------- public entry
 
 
@@ -371,7 +262,7 @@ def conv3x3(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     if stride == 1:
         return _conv_s1(x, w)
     if stride == 2:
-        return _conv_s2(x, w)
+        return _s2_phase_einsum(x, w)
     raise ValueError(f"conv3x3: unsupported stride {stride}")
 
 
@@ -385,4 +276,4 @@ def conv1x1(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     if stride != 1:
         x = x[:, ::stride, ::stride, :]
     return jnp.einsum("bhwc,co->bhwo", x, w,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=_acc_t(x.dtype)).astype(x.dtype)

@@ -37,6 +37,12 @@ class TrainCfg:
     warm_up_steps: int = 10000
     rays_per_batch: int = 256
     loss: LossCfg = field(default_factory=LossCfg)
+    # Exact-mode stabilizers (r4 knot study: the exact feature path
+    # concentrates gradients onto few encoder texels and 2/3 seeds collapse
+    # at reference scale — benchmarks/RESULTS.md). Both default OFF so the
+    # reference optimizer semantics (model_wrapper.py:87-105) are unchanged.
+    grad_clip_norm: Optional[float] = None  # optax.clip_by_global_norm
+    encoder_lr_scale: float = 1.0  # stage-1 lr multiplier on encoder/* params
     # per-step min/max of every model input/target tensor (the reference's
     # sanity/* stream, model_wrapper.py:164-173 + logging_utils.py:6-19)
     log_sanity: bool = False
@@ -78,21 +84,38 @@ def make_optimizer(cfg: TrainCfg, params=None, action_decoder_cfg=None):
     torch.optim.Adam's weight_decay adds wd*param to the gradient BEFORE the
     moment updates — optax ordering: add_decayed_weights -> scale_by_adam.
     """
-    schedule = optax.linear_schedule(
-        init_value=cfg.lr / cfg.warm_up_steps, end_value=cfg.lr,
-        transition_steps=cfg.warm_up_steps,
-    )
-    tx = optax.chain(
-        optax.add_decayed_weights(cfg.weight_decay),
-        optax.scale_by_adam(),
-        optax.scale_by_learning_rate(schedule),
-    )
+    def adam_chain(lr_mult: float = 1.0):
+        schedule = optax.linear_schedule(
+            init_value=cfg.lr * lr_mult / cfg.warm_up_steps,
+            end_value=cfg.lr * lr_mult,
+            transition_steps=cfg.warm_up_steps,
+        )
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(schedule),
+        )
+
     if cfg.mode == "action":
         assert params is not None and action_decoder_cfg is not None
         labels = trainable_mask(params, cfg.mode, action_decoder_cfg)
         tx = optax.multi_transform(
-            {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+            {"trainable": adam_chain(), "frozen": optax.set_to_zero()}, labels
         )
+    elif cfg.encoder_lr_scale != 1.0:
+        assert params is not None
+        flat = flax.traverse_util.flatten_dict(params)
+        labels = flax.traverse_util.unflatten_dict(
+            {k: ("encoder" if k[0] == "encoder" else "other") for k in flat})
+        tx = optax.multi_transform(
+            {"encoder": adam_chain(cfg.encoder_lr_scale),
+             "other": adam_chain()}, labels)
+    else:
+        tx = adam_chain()
+    if cfg.grad_clip_norm is not None:
+        # clip BEFORE decay/Adam, matching how a torch user clips grads
+        # ahead of optimizer.step()
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     return tx
 
 

@@ -93,15 +93,33 @@ def test_encoder_conv_impl_interchangeable():
     params_p = enc_p.init(jax.random.PRNGKey(4), rgb)
     assert jax.tree.structure(params) == jax.tree.structure(params_p)
 
-    def loss(fn):
-        return lambda p: jnp.mean(fn.apply(p, rgb) ** 2)
-
     out_x, out_p = enc_x.apply(params, rgb), enc_p.apply(params, rgb)
     np.testing.assert_allclose(out_p, out_x, rtol=2e-4, atol=2e-4)
-    gx = jax.grad(loss(enc_x))(params)
-    gp = jax.grad(loss(enc_p))(params)
-    jax.tree.map(lambda a, b: np.testing.assert_allclose(
-        b, a, rtol=2e-3, atol=2e-5), gx, gp)
+
+    # Gradient parity is checked in FLOAT64: in f32 the ~1e-7 forward
+    # rounding difference between the impls can flip a near-zero ReLU
+    # pre-activation, and one flipped mask element perturbs every leaf's
+    # gradient by ~1e-3 (measured: at some input seeds plain XLA-f32
+    # disagrees with XLA-f64 by the same 2e-3 — it's conditioning of the
+    # network, not impl error; per-op f32 accuracy of the suite matches
+    # XLA's at ~1e-7, see the probes in the r5 RESULTS entry). In f64 no
+    # mask can flip, so a tight bound is a STRONGER structural check: any
+    # wrong tap/phase/rotation would be O(1).
+    with jax.enable_x64():
+        params64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), params)
+        rgb64 = jnp.asarray(rgb, jnp.float64)
+
+        def loss64(fn):
+            return lambda p: jnp.mean(fn.apply(p, rgb64) ** 2)
+
+        gx = jax.tree.map(np.asarray, jax.grad(loss64(enc_x))(params64))
+        gp = jax.tree.map(np.asarray, jax.grad(loss64(enc_p))(params64))
+
+    def rel_close(a, b):
+        rel = float(np.linalg.norm(b - a)) / (float(np.linalg.norm(a)) + 1e-30)
+        assert rel < 1e-9, rel
+
+    jax.tree.map(rel_close, gx, gp)
 
 
 def test_conv3x3_bf16_accumulates_f32():

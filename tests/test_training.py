@@ -499,3 +499,48 @@ def test_multi_step_dispatch_caps_compiles():
     assert len(compiles) == 2  # cap respected
     # cached programs keep being served
     assert d.select(100, tuples[0], "traced") == ("p", tuples[0])
+
+
+def test_stabilizer_knobs_clip_and_encoder_lr():
+    """Exact-mode stabilizers (r5): grad_clip_norm bounds the global update
+    norm and encoder_lr_scale shrinks ONLY encoder param movement; both
+    default off and must not change the optimizer tree structure."""
+    import flax.traverse_util as tu
+
+    model = tiny_model()
+    raw = tiny_batch(jax.random.PRNGKey(0))
+
+    def one_step(cfg):
+        state = create_train_state(jax.random.PRNGKey(1), model, raw, cfg)
+        step = make_train_step(model, cfg, donate=False)
+        new, _ = step(state, raw, jax.random.PRNGKey(2))
+        p0 = tu.flatten_dict(jax.tree.map(np.asarray, state.params), sep="/")
+        p1 = tu.flatten_dict(jax.tree.map(np.asarray, new.params), sep="/")
+        return p0, p1
+
+    base = TrainCfg(mode="perception", rays_per_batch=32, lr=1e-3,
+                    warm_up_steps=1)
+    p0, p1 = one_step(base)
+
+    # tight clip: every param moves, but the TOTAL update norm == the bound
+    # after Adam's unit-scale moments (clip acts on grads pre-Adam, so just
+    # assert movement shrinks vs unclipped)
+    clip = TrainCfg(mode="perception", rays_per_batch=32, lr=1e-3,
+                    warm_up_steps=1, grad_clip_norm=1e-3)
+    c0, c1 = one_step(clip)
+    upd_base = np.sqrt(sum(((p1[k] - p0[k]) ** 2).sum() for k in p0))
+    upd_clip = np.sqrt(sum(((c1[k] - c0[k]) ** 2).sum() for k in c0))
+    assert np.isfinite(upd_clip) and upd_clip > 0
+    assert upd_clip < upd_base
+
+    # encoder lr scale 0: encoder params frozen, everything else moves as if
+    # unscaled
+    enc = TrainCfg(mode="perception", rays_per_batch=32, lr=1e-3,
+                   warm_up_steps=1, encoder_lr_scale=0.0)
+    e0, e1 = one_step(enc)
+    enc_moved = [k for k in e0 if k.startswith("encoder/")
+                 and not np.allclose(e0[k], e1[k])]
+    other_moved = [k for k in e0 if not k.startswith("encoder/")
+                   and not np.array_equal(e0[k], e1[k])]
+    assert not enc_moved, enc_moved[:5]
+    assert other_moved
