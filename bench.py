@@ -77,9 +77,15 @@ def _sync(x):
 
 
 def _flagship_model(samples=SAMPLES):
+    import os
+
     from neural_jacobian_field_tpu.models.encoder_resnet import EncoderResnetCfg
     from neural_jacobian_field_tpu.models.model import Model, RenderingCfg, make_model_cfg
 
+    # K9 conv suite (ops/pallas/conv_suite.py): default since the r5 A/B —
+    # 31,553/31,598 vs 30,561/30,579 rays/s xla (+3.3%, two interleaved
+    # rounds, benchmarks/r5/convab.log); NJF_CONV_IMPL=xla reverts.
+    conv_impl = os.environ.get("NJF_CONV_IMPL", "pallas")
     return Model(
         cfg=make_model_cfg(
             "jacobian_mlp", action_dim=ACTION_DIM,
@@ -95,7 +101,7 @@ def _flagship_model(samples=SAMPLES):
                                    # K7 fused trunk kernel (+8% step)
                                    use_fused_trunk=True),
             # reference default norm (image_encoder_resnet.yaml: batch)
-            encoder=EncoderResnetCfg(norm_type="batch"),
+            encoder=EncoderResnetCfg(norm_type="batch", conv_impl=conv_impl),
         ),
         compute_dtype=jnp.bfloat16,
     )
