@@ -38,6 +38,12 @@ class OptimCfg:
     lr: float = 1e-4
     warm_up_steps: int = 10000
     weight_decay: float = 1e-5
+    # exact-mode stabilizers (r5, benchmarks/RESULTS.md): optax global-norm
+    # grad clip ahead of the Adam chain, and a stage-1-only lr multiplier
+    # on encoder/* params. Both off by default — the reference optimizer
+    # semantics (model_wrapper.py:87-105) are unchanged unless set.
+    grad_clip_norm: Optional[float] = None
+    encoder_lr_scale: float = 1.0
 
 
 @dataclass(frozen=True)

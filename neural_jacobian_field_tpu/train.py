@@ -62,6 +62,8 @@ def train(cfg: PipelineCfg, max_steps_override=None, log_dir=None):
         warm_up_steps=cfg.training.optim.warm_up_steps,
         rays_per_batch=cfg.training.data.rays_per_batch or 256,
         loss=cfg.training.loss,
+        grad_clip_norm=cfg.training.optim.grad_clip_norm,
+        encoder_lr_scale=cfg.training.optim.encoder_lr_scale,
     )
 
     first_batch = next(loader)

@@ -47,6 +47,8 @@ def test_dotted_overrides():
         "checkpoint.load=checkpoints/perception",
         "model.rendering.num_nerf_samples=64",
         "dataset.action_supervision_type=tracks",
+        "training.optim.grad_clip_norm=1.0",
+        "training.optim.encoder_lr_scale=0.5",
     ]))
     assert cfg.dataset.mode == "action"
     assert str(cfg.dataset.root) == "/tmp/somewhere"
@@ -54,6 +56,9 @@ def test_dotted_overrides():
     assert cfg.checkpoint.load == "checkpoints/perception"
     assert cfg.model.rendering.num_nerf_samples == 64
     assert cfg.dataset.action_supervision_type == "tracks"
+    # r5 stabilizer knobs reach TrainCfg through the CLI (train.py:59-67)
+    assert cfg.training.optim.grad_clip_norm == pytest.approx(1.0)
+    assert cfg.training.optim.encoder_lr_scale == pytest.approx(0.5)
 
 
 def test_toy_arm_groups():
