@@ -13,9 +13,9 @@ OUT=benchmarks/r5/study.jsonl
 while kill -0 "$(cat /tmp/queue3.pid 2>/dev/null)" 2>/dev/null; do sleep 60; done
 sleep 10
 
-timeout 1200 python benchmarks/conv_step_diag.py kernels \
+timeout 3600 python benchmarks/conv_step_diag.py kernels \
   > benchmarks/r5/convdiag.log 2>&1
-timeout 1200 python benchmarks/conv_step_diag.py step \
+timeout 3600 python benchmarks/conv_step_diag.py step \
   >> benchmarks/r5/convdiag.log 2>&1
 echo DIAG-DONE >> benchmarks/r5/convdiag.log
 
