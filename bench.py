@@ -160,53 +160,90 @@ def _train_metric(metric, mode, tracks, rays, baseline=None):
     cfg = TrainCfg(mode=mode, rays_per_batch=rays, warm_up_steps=10000)
     state = create_train_state(key, model, batch, cfg)
 
+    spc = 1
     if mode == "perception":
-        # the train loop's statically-gated dispatch: post-warmup the
-        # reference only backprops proposal nets on `steps_since_update >
-        # proposal_update_every` steps (1 in 6 at update_every=5,
-        # ray_samplers.py:513-515) — measure that steady-state mix honestly
-        # via the same host_step_schedule the CLI uses.
-        fns = {
-            True: make_train_step(model, cfg, donate=True, static_updated=True),
-            False: make_train_step(model, cfg, donate=True, static_updated=False),
-        }
-        ssu = 1  # post-update phase: the steady-state cycle is 5 frozen + 1 update
-        sched = []
-        for i in range(60):
-            up, ssu = host_step_schedule(20000 + i, ssu, model.cfg.rendering)
-            sched.append(up)
+        import os
 
-        def step(state, batch, k, i=[0]):
-            up = sched[i[0] % len(sched)]
-            i[0] += 1
-            return fns[up](state, batch, k)
+        # the train loop's statically-gated steady-state dispatch: post-
+        # warmup the reference only backprops proposal nets on
+        # `steps_since_update > proposal_update_every` steps (1 in 6 at
+        # update_every=5, ray_samplers.py:513-515). Since r5 the bench runs
+        # the CLI's `training.steps_per_call` bundling at spc=6 — the whole
+        # steady cycle (5 frozen + 1 update, the exact host_step_schedule
+        # rotation from ssu=1) as ONE compiled program: the frozen run is a
+        # lax.scan (proposal backward DCE'd), and the 6x bundling amortizes
+        # the per-dispatch tunnel round trip the same way a real training
+        # run with steps_per_call=6 does. NJF_SPC=1 reverts to per-step
+        # dispatch (the r3/r4 measurement mode).
+        spc = int(os.environ.get("NJF_SPC", "6"))
+        cycle = int(model.cfg.rendering.proposal_update_every) + 1
+        if spc > 1:
+            assert spc % cycle == 0, (spc, cycle)
+            # verify the baked rotation against the host mirror at ssu=1
+            pattern, ssu = [], 1
+            for i in range(spc):
+                up, ssu = host_step_schedule(20000 + i, ssu,
+                                             model.cfg.rendering)
+                pattern.append(up)
+            assert tuple(pattern) == (False,) * (cycle - 1) + (True,), pattern
+            from neural_jacobian_field_tpu.training import make_multi_train_step
 
-        # compile/warm both variants
-        state, metrics = fns[True](state, batch, jax.random.PRNGKey(10))
-        _sync(metrics["loss/total"])
-        state, metrics = fns[False](state, batch, jax.random.PRNGKey(10))
-        _sync(metrics["loss/total"])
+            multi = make_multi_train_step(model, cfg, steps_per_call=spc,
+                                          static_schedule=tuple(pattern))
+            stacked = jax.tree.map(
+                lambda x: None if x is None else jnp.stack([x] * spc),
+                batch, is_leaf=lambda x: x is None)
+            state = state.replace(step=jnp.asarray(20000, jnp.int32),
+                                  steps_since_update=jnp.asarray(1, jnp.int32))
+
+            def step(st, _batch, k):
+                return multi(st, stacked, k)
+
+            state, metrics = step(state, batch, jax.random.PRNGKey(10))
+            _sync(metrics["loss/total"])
+        else:
+            fns = {
+                True: make_train_step(model, cfg, donate=True,
+                                      static_updated=True),
+                False: make_train_step(model, cfg, donate=True,
+                                       static_updated=False),
+            }
+            ssu = 1  # steady-state cycle: 5 frozen + 1 update
+            sched = []
+            for i in range(60):
+                up, ssu = host_step_schedule(20000 + i, ssu,
+                                             model.cfg.rendering)
+                sched.append(up)
+
+            def step(state, batch, k, i=[0]):
+                up = sched[i[0] % len(sched)]
+                i[0] += 1
+                return fns[up](state, batch, k)
+
+            # compile/warm both variants
+            state, metrics = fns[True](state, batch, jax.random.PRNGKey(10))
+            _sync(metrics["loss/total"])
+            state, metrics = fns[False](state, batch, jax.random.PRNGKey(10))
+            _sync(metrics["loss/total"])
     else:
         step = make_train_step(model, cfg, donate=True)
         state, metrics = step(state, batch, jax.random.PRNGKey(10))
         _sync(metrics["loss/total"])
 
-    # chained steps (state feeds state) with one data pull at the end; the
-    # per-dispatch overhead is amortized across k steps. (steps_per_call=4
-    # via lax.scan measures ~3% faster with a device-resident stacked batch —
-    # benchmarks/RESULTS.md; per-step kept here for simplicity.)
-    k = 24 if mode == "perception" else 12
+    # chained dispatches (state feeds state) with one data pull at the end
+    k = 4 if spc > 1 else (24 if mode == "perception" else 12)
     t0 = time.perf_counter()
     m = None
     for i in range(k):
         state, m = step(state, batch, jax.random.PRNGKey(100 + i))
     _sync(m["loss/total"])
-    per_step = (time.perf_counter() - t0) / k
+    per_step = (time.perf_counter() - t0) / (k * spc)
     rays_total = BATCH * (tracks if tracks else rays)
     rps = rays_total / per_step
+    spc_note = f", steps_per_call={spc}" if spc > 1 else ""
     _emit(metric, rps,
           f"rays/s (fwd+bwd, b{BATCH}x{tracks if tracks else rays}rays x "
-          f"{sum(SAMPLES)} samples, bf16)",
+          f"{sum(SAMPLES)} samples, bf16{spc_note})",
           rps / baseline if baseline else None)
 
     if mode == "perception":

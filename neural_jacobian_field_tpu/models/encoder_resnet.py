@@ -46,7 +46,13 @@ class EncoderResnetCfg:
     # layout churn. Unsupported shapes fall back to XLA per conv. The stem
     # 7x7 + max-pool stay on XLA either way (r3: strided-stem relowering
     # measured 2.4-2.7x worse).
-    conv_impl: str = "xla"  # xla | pallas
+    # "pallas_fused": K9 convs PLUS the K10 BatchNorm-stats fold — each
+    # stride-1 3x3's training-mode batch stats come out of the conv
+    # kernel's f32 accumulator (conv_suite.conv3x3_stats), so the BN stats
+    # pass never re-reads the conv output from HBM. Only meaningful with
+    # norm_type="batch"; otherwise identical to "pallas". Param tree is
+    # identical across all three impls (checkpoints interchangeable).
+    conv_impl: str = "xla"  # xla | pallas | pallas_fused
 
 
 # ResNet-34 stage spec: (num_blocks, channels) per layer.
@@ -74,12 +80,18 @@ class _ConvK9(nn.Module):
     (ops/pallas/conv_suite.py). Param tree is identical to nn.Conv
     ({name}/kernel, HWIO, f32 params) so checkpoints are interchangeable
     between conv_impl settings. Off-family shapes fall back to the same
-    lax.conv_general_dilated call nn.Conv would emit."""
+    lax.conv_general_dilated call nn.Conv would emit.
+
+    With `emit_stats=True` (K10, stride-1 3x3 on-family only) __call__
+    returns (y, sum, sumsq) — per-channel output stats from the conv
+    kernel's f32 accumulator, for BatchNormFromStats; otherwise
+    (y, None, None) so the caller's BN computes its own stats."""
 
     features: int
     kernel_size: int  # 3 (BasicBlock convs) or 1 (downsample projection)
     strides: int
     compute_dtype: Optional[jnp.dtype] = None
+    emit_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -93,14 +105,71 @@ class _ConvK9(nn.Module):
             x = x.astype(dt)
             kernel = kernel.astype(dt)
         if self.kernel_size == 1:
-            return k9.conv1x1(x, kernel, self.strides)
+            return k9.conv1x1(x, kernel, self.strides), None, None
         if k9.conv3x3_supported(x.shape, self.features, self.strides,
                                 dtype=x.dtype):
-            return k9.conv3x3(x, kernel, self.strides)
-        return jax.lax.conv_general_dilated(
+            if self.emit_stats and self.strides == 1:
+                return k9.conv3x3_stats(x, kernel)
+            return k9.conv3x3(x, kernel, self.strides), None, None
+        y = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(self.strides, self.strides),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y, None, None
+
+
+class BatchNormFromStats(nn.Module):
+    """nn.BatchNorm-equivalent normalization that can consume a precomputed
+    per-channel (sum, sumsq) of its input over the (B, H, W) axes — K10:
+    the stats arrive free from the K9 conv epilogue
+    (ops/pallas/conv_suite.conv3x3_stats), so training-mode BN never
+    re-reads the conv output from HBM. With s1/s2 None it computes the same
+    stats itself (mean / E[x^2] - mean^2 in f32 — flax's own formulation),
+    so it is usable for every norm site in the block.
+
+    Param/variable tree is IDENTICAL to nn.BatchNorm (params {scale, bias},
+    batch_stats {mean, var}; momentum 0.9, biased variance) — checkpoints
+    are interchangeable with the other conv_impl settings, and the torch
+    running-stats semantics proven in tests/test_torch_golden.py carry
+    over unchanged."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, y, s1=None, s2=None, use_running_average: bool = False):
+        c = y.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            ft = jnp.promote_types(y.dtype, jnp.float32)
+            n = y.size // c
+            if s1 is None:
+                yf = y.astype(ft)
+                s1 = jnp.sum(yf, axis=(0, 1, 2))
+                s2 = jnp.sum(yf * yf, axis=(0, 1, 2))
+            mean = s1.astype(ft) / n
+            # biased variance, clamped: the sumsq form can go slightly
+            # negative under rounding where the true variance is ~0
+            var = jnp.maximum(s2.astype(ft) / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean.astype(jnp.float32))
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * var.astype(jnp.float32))
+        # match flax._normalize: math in the promoted (>= f32) dtype, one
+        # downcast at the end
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (y - mean) * mul + bias
+        return out.astype(self.dtype or out.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -116,35 +185,45 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         dt = self.compute_dtype
         needs_proj = self.strides != 1 or x.shape[-1] != self.channels
+        pallas = self.conv_impl in ("pallas", "pallas_fused")
+        # K10: fold training-mode BN stats into the stride-1 conv kernels
+        fuse_bn = (self.conv_impl == "pallas_fused"
+                   and self.norm_type == "batch")
 
         def norm(name):
+            if fuse_bn:
+                layer = BatchNormFromStats(dtype=dt, name=name)
+                return lambda v, s1=None, s2=None: layer(
+                    v, s1, s2, use_running_average=not train)
             layer = _norm(self.norm_type, dt, name)
             if layer is None:
-                return lambda v: v
+                return lambda v, s1=None, s2=None: v
             if self.norm_type == "batch":
-                return lambda v: layer(v, use_running_average=not train)
-            return layer
+                return lambda v, s1=None, s2=None: layer(
+                    v, use_running_average=not train)
+            return lambda v, s1=None, s2=None: layer(v)
 
         def conv(name, ksize, strides):
-            if self.conv_impl == "pallas":
-                return _ConvK9(self.channels, ksize, strides,
-                               compute_dtype=dt, name=name)
-            return nn.Conv(self.channels, (ksize, ksize), strides=strides,
-                           padding=(ksize - 1) // 2, use_bias=False,
-                           kernel_init=init.kaiming_normal_out, dtype=dt,
-                           name=name)
+            if pallas:
+                k9 = _ConvK9(self.channels, ksize, strides, compute_dtype=dt,
+                             emit_stats=fuse_bn and train, name=name)
+                return lambda v: k9(v)
+            mod = nn.Conv(self.channels, (ksize, ksize), strides=strides,
+                          padding=(ksize - 1) // 2, use_bias=False,
+                          kernel_init=init.kaiming_normal_out, dtype=dt,
+                          name=name)
+            return lambda v: (mod(v), None, None)
 
         residual = x
-        y = conv("conv1", 3, self.strides)(x)
-        y = norm("bn1")(y)
+        y, s1, s2 = conv("conv1", 3, self.strides)(x)
+        y = norm("bn1")(y, s1, s2)
         y = nn.relu(y)
-        y = conv("conv2", 3, 1)(y)
-        y = norm("bn2")(y)
+        y, s1, s2 = conv("conv2", 3, 1)(y)
+        y = norm("bn2")(y, s1, s2)
 
         if needs_proj:
-            residual = conv("downsample_conv", 1, self.strides)(x)
-            down_norm = norm("downsample_norm")
-            residual = down_norm(residual)
+            residual, s1, s2 = conv("downsample_conv", 1, self.strides)(x)
+            residual = norm("downsample_norm")(residual, s1, s2)
 
         return nn.relu(y + residual)
 

@@ -201,6 +201,130 @@ def _s1_wgrad(x, g, interpret=False):
     return out.reshape(3, 3, c, cout)
 
 
+# ------------------------------------------ K10: stride-1 fwd + BN stats
+#
+# The r4 trace attributed ~3.1 ms/step to BatchNorm batch-stats work:
+# per-channel sum/sumsq reductions that RE-READ every conv output from HBM
+# (reference model_components/get_norm_layer.py:6-27 — every BasicBlock
+# conv is followed by a train-mode BatchNorm). The fwd kernel already holds
+# each output block's f32 accumulator in VMEM, so emitting per-channel
+# partial sums there makes the training-mode stats pass HBM-free. Priced in
+# benchmarks/conv_stats_proto.py; integrated via `conv3x3_stats` +
+# models/encoder_resnet.BatchNormFromStats behind conv_impl="pallas_fused".
+#
+# VJP: s1 = sum(y), s2 = sum(y*y) over (B, H, W), so the cotangents fold
+# into a single effective output cotangent before the K9 backward pair:
+#   g_eff = gy + gs1 + 2 * y * gs2          (gs1/gs2 broadcast per channel)
+
+
+def _s1_fwd_stats_kernel(top_ref, mid_ref, bot_ref, w_ref, out_ref,
+                         s1_ref, s2_ref, *, rb, nrb):
+    bi = pl.program_id(0)
+    r = pl.program_id(1)
+    top = top_ref[0]
+    mid = mid_ref[0]
+    bot = bot_ref[0]
+    zt = jnp.where(r == 0, 0.0, 1.0).astype(mid.dtype)
+    zb = jnp.where(r == nrb - 1, 0.0, 1.0).astype(mid.dtype)
+    xblk = jnp.concatenate([top[-1:] * zt, mid, bot[:1] * zb], axis=0)
+    w, c = mid.shape[1], mid.shape[2]
+    pieces = []
+    for dy in range(3):
+        rows = xblk[dy:dy + rb]
+        for dx in range(3):
+            pieces.append(_shift_cols(rows, dx).reshape(rb * w, c))
+    asm = jnp.concatenate(pieces, axis=-1)
+    acc = jnp.dot(asm, w_ref[...], preferred_element_type=_acc_t(asm.dtype))
+    out_ref[0] = acc.reshape(rb, w, -1).astype(out_ref.dtype)
+
+    # stats epilogue: VPU reductions on the accumulator already in VMEM —
+    # accumulated across the sequential TPU grid into one [1, Cout] buffer.
+    @pl.when((bi == 0) & (r == 0))
+    def _init():
+        s1_ref[...] = jnp.zeros_like(s1_ref)
+        s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    s1_ref[...] += jnp.sum(acc, axis=0, keepdims=True).astype(s1_ref.dtype)
+    s2_ref[...] += jnp.sum(acc * acc, axis=0,
+                           keepdims=True).astype(s2_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _s1_fwd_stats(x, w, interpret=False):
+    """x [B, H, W, C], w [3, 3, C, Cout] -> (y [B, H, W, Cout] in x.dtype,
+    sum [Cout], sumsq [Cout]) — stats of the OUTPUT, taken from the f32
+    accumulator (pre-downcast), accumulated in _acc_t(x.dtype)."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    b, h, wd, c = x.shape
+    rb = _pick_rb(h)
+    nrb = h // rb
+    cout = w.shape[-1]
+    wk = w.reshape(9 * c, cout).astype(x.dtype)
+    st = _acc_t(x.dtype)
+    spec = lambda fn: pl.BlockSpec((1, rb, wd, c), fn, memory_space=pltpu.VMEM)
+    y, s1, s2 = pl.pallas_call(
+        functools.partial(_s1_fwd_stats_kernel, rb=rb, nrb=nrb),
+        grid=(b, nrb),
+        in_specs=[
+            spec(lambda bi, r: (bi, jnp.maximum(r - 1, 0), 0, 0)),
+            spec(lambda bi, r: (bi, r, 0, 0)),
+            spec(lambda bi, r: (bi, jnp.minimum(r + 1, nrb - 1), 0, 0)),
+            pl.BlockSpec((9 * c, cout), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rb, wd, cout), lambda bi, r: (bi, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+            jax.ShapeDtypeStruct((1, cout), st),
+            jax.ShapeDtypeStruct((1, cout), st),
+        ],
+        interpret=interpret,
+    )(x, x, x, wk)
+    return y, s1[0], s2[0]
+
+
+@jax.custom_vjp
+def _conv_s1_stats(x, w):
+    return _s1_fwd_stats(x, w)
+
+
+def _conv_s1_stats_f(x, w):
+    y, s1, s2 = _s1_fwd_stats(x, w)
+    # y rides along as a residual: it is already materialized as a primal
+    # output, so this costs no extra HBM write.
+    return (y, s1, s2), (x, w, y)
+
+
+def _conv_s1_stats_b(res, cts):
+    x, w, y = res
+    gy, gs1, gs2 = cts
+    at = _acc_t(y.dtype)
+    # fold the stats cotangents into one effective output cotangent (one
+    # fused elementwise pass; XLA fuses the broadcast adds into it)
+    g = (gy.astype(at) + gs1.astype(at)
+         + 2.0 * y.astype(at) * gs2.astype(at)).astype(y.dtype)
+    wr = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    return _s1_fwd(g, wr), _s1_wgrad(x, g).astype(w.dtype)
+
+
+_conv_s1_stats.defvjp(_conv_s1_stats_f, _conv_s1_stats_b)
+
+
+def conv3x3_stats(x: jax.Array, w: jax.Array):
+    """Differentiable stride-1 3x3 same-pad conv (NHWC) that ALSO returns
+    per-channel (sum, sumsq) of its output over (B, H, W) — the K10 fused
+    BatchNorm-stats epilogue. Caller must have checked `conv3x3_supported`
+    at stride 1."""
+    return _conv_s1_stats(x, w)
+
+
 # --------------------------------------------------------- stride-2 path
 #
 # The stride-2 stage-entry convs (3 per forward) are NOT Pallas: Mosaic

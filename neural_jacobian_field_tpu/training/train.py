@@ -303,9 +303,12 @@ def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
     `make_train_step` calls with the split keys.
 
     `static_schedule`: a length-K tuple of proposal-gate values to BAKE into
-    the program (see make_train_step's `static_updated`). The K substeps are
-    then Python-unrolled instead of scanned, so XLA deletes the proposal
-    backward on the frozen substeps. At steady state the gate pattern is
+    the program (see make_train_step's `static_updated`), so XLA deletes the
+    proposal backward on the frozen substeps. Consecutive equal gates are
+    compiled as ONE `lax.scan` run (r5): a window like (F,F,F,F,F,T) lowers
+    to a 5-iteration scan over the frozen body + one inline update substep —
+    program size (and cold-compile time) stays ~2 substeps regardless of K,
+    while keeping the full DCE. At steady state the gate pattern is
     periodic with period proposal_update_every+1; which ROTATION of it a
     dispatch window sees depends on where the warmup schedule left the ssu
     counter, so the train loop discovers the recurring tuples at runtime
@@ -360,18 +363,42 @@ def make_multi_train_step(model: Model, cfg: TrainCfg, steps_per_call: int,
 
     if static_schedule is not None:
         assert len(static_schedule) == steps_per_call
+        # compress consecutive equal gates into (gate, count) runs — each
+        # multi-step run lowers to one lax.scan (bounded program size)
+        runs = []
+        for g in static_schedule:
+            if runs and runs[-1][0] == bool(g):
+                runs[-1][1] += 1
+            else:
+                runs.append([bool(g), 1])
 
         def multi_step_fn(state: TrainState, stacked_batch: RawBatch,
                           key: jax.Array):
             keys = jax.random.split(key, steps_per_call)
             ms = []
-            for i, gate in enumerate(static_schedule):
-                batch_i = jax.tree.map(
-                    lambda x: None if x is None else x[i], stacked_batch,
-                    is_leaf=lambda x: x is None)
-                state, m = substep(state, batch_i, keys[i], bool(gate))
-                ms.append(m)
-            return state, jax.tree.map(lambda *xs: jnp.stack(xs), *ms)
+            i = 0
+            for gate, cnt in runs:
+                if cnt == 1:
+                    batch_i = jax.tree.map(
+                        lambda x: None if x is None else x[i], stacked_batch,
+                        is_leaf=lambda x: x is None)
+                    state, m = substep(state, batch_i, keys[i], gate)
+                    ms.append(jax.tree.map(lambda v: jnp.stack([v]), m))
+                else:
+                    window = jax.tree.map(
+                        lambda x: None if x is None else x[i:i + cnt],
+                        stacked_batch, is_leaf=lambda x: x is None)
+
+                    def body(carry, xs, _gate=gate):
+                        batch, k = xs
+                        return substep(carry, batch, k, _gate)
+
+                    state, m = jax.lax.scan(body, state,
+                                            (window, keys[i:i + cnt]))
+                    ms.append(m)
+                i += cnt
+            return state, jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *ms)
     else:
         def multi_step_fn(state: TrainState, stacked_batch: RawBatch,
                           key: jax.Array):

@@ -122,6 +122,98 @@ def test_encoder_conv_impl_interchangeable():
     jax.tree.map(rel_close, gx, gp)
 
 
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 20, 16, 8), 8),
+    ((2, 10, 8, 16), 32),
+])
+def test_conv3x3_stats_matches_xla(shape, cout):
+    """K10 fused conv+BN-stats: y parity vs XLA conv, (sum, sumsq) parity
+    vs jnp reductions, and the folded VJP (g_eff = gy + gs1 + 2 y gs2)
+    vs XLA autodiff through the same (conv, sum, sumsq) triple."""
+    from neural_jacobian_field_tpu.ops.pallas.conv_suite import conv3x3_stats
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, shape, jnp.float32)
+    w = jax.random.normal(kw, (3, 3, shape[-1], cout), jnp.float32) * 0.1
+
+    def ref(x_, w_):
+        y = _xla_conv(x_, w_, 1)
+        return y, jnp.sum(y, (0, 1, 2)), jnp.sum(y * y, (0, 1, 2))
+
+    got, want = conv3x3_stats(x, w), ref(x, w)
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(g, wv, rtol=1e-4, atol=1e-4)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    cots = tuple(jax.random.normal(k, o.shape, o.dtype)
+                 for k, o in zip(keys, want))
+
+    def loss(fn):
+        return lambda x_, w_: sum(jnp.sum(o * c)
+                                  for o, c in zip(fn(x_, w_), cots))
+
+    dx_got, dw_got = jax.grad(loss(conv3x3_stats), argnums=(0, 1))(x, w)
+    dx_want, dw_want = jax.grad(loss(ref), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(dx_got, dx_want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(dw_got, dw_want, rtol=1e-3, atol=1e-4)
+
+
+def test_encoder_pallas_fused_bn_interchangeable():
+    """conv_impl="pallas_fused" with norm_type="batch" (the K10 fold) must
+    be a drop-in vs conv_impl="xla": identical param+batch_stats tree,
+    matching train-mode forward AND updated running stats on the same
+    params, and matching eval forward from the same running stats."""
+    from neural_jacobian_field_tpu.models.encoder_resnet import (
+        EncoderResnet, EncoderResnetCfg,
+    )
+
+    rgb = jax.random.normal(jax.random.PRNGKey(3), (2, 40, 32, 3), jnp.float32)
+    kwargs = dict(norm_type="batch", feature_layout="concat", num_layers=3)
+    enc_x = EncoderResnet(EncoderResnetCfg(conv_impl="xla", **kwargs))
+    enc_f = EncoderResnet(EncoderResnetCfg(conv_impl="pallas_fused", **kwargs))
+    vars_x = enc_x.init(jax.random.PRNGKey(4), rgb, train=True)
+    vars_f = enc_f.init(jax.random.PRNGKey(4), rgb, train=True)
+    assert jax.tree.structure(vars_x) == jax.tree.structure(vars_f)
+
+    out_x, upd_x = enc_x.apply(vars_x, rgb, train=True,
+                               mutable=["batch_stats"])
+    out_f, upd_f = enc_f.apply(vars_x, rgb, train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(out_f, out_x, rtol=2e-3, atol=2e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4),
+        upd_x["batch_stats"], upd_f["batch_stats"])
+
+    # eval: running-average path (no fused kernel involved) must also agree
+    ev_x = enc_x.apply({**vars_x, **upd_x}, rgb, train=False)
+    ev_f = enc_f.apply({**vars_x, **upd_x}, rgb, train=False)
+    np.testing.assert_allclose(ev_f, ev_x, rtol=2e-3, atol=2e-3)
+
+    # train-mode gradient parity through conv + fused-stats BN, in f64
+    # (see test_encoder_conv_impl_interchangeable for why f64)
+    with jax.enable_x64():
+        params64 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), vars_x)
+        rgb64 = jnp.asarray(rgb, jnp.float64)
+
+        def loss64(fn):
+            def f(p):
+                out, _ = fn.apply({**params64, "params": p}, rgb64,
+                                  train=True, mutable=["batch_stats"])
+                return jnp.mean(out ** 2)
+            return f
+
+        gx = jax.tree.map(np.asarray,
+                          jax.grad(loss64(enc_x))(params64["params"]))
+        gf = jax.tree.map(np.asarray,
+                          jax.grad(loss64(enc_f))(params64["params"]))
+
+    def rel_close(a, b):
+        rel = float(np.linalg.norm(b - a)) / (float(np.linalg.norm(a)) + 1e-30)
+        assert rel < 1e-9, rel
+
+    jax.tree.map(rel_close, gx, gf)
+
+
 def test_conv3x3_bf16_accumulates_f32():
     """bf16 inputs: the fused matmul must accumulate in f32 (tolerance is
     set by the bf16 INPUT rounding, not by accumulation error)."""
