@@ -34,6 +34,7 @@ Reference counterpart: model_components/pixel_aligned_features.py:11-35
 (cuDNN grid_sample per sample — cheap on GPU, the wrong shape for TPU).
 """
 
+import os
 from typing import Tuple
 
 import flax.struct
@@ -52,6 +53,11 @@ from .pixel_gather import (
     bilinear_corners,
     gather_packed_rows,
 )
+
+
+# A/B flag for the project_then_interp contraction form (see its docstring);
+# default stays the 2-D merged-batch dot that every prior measurement used.
+_KW_DOT_4D = os.environ.get("NJF_KW_DOT", "2d") == "4d"
 
 
 @flax.struct.dataclass
@@ -251,11 +257,25 @@ class KnotFeatures:
         kw = jnp.concatenate(kws, axis=2)  # [B, R, M_total, d]
         hat = jnp.concatenate(hats, axis=-1)  # [B, R, S, M_total]
         m, d = kw.shape[2], kw.shape[3]
-        out = jax.lax.dot_general(
-            hat.reshape(b * r, sn, m), kw.reshape(b * r, m, d),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(kw.dtype).reshape(b, r * sn, d)
+        if _KW_DOT_4D:
+            # A/B variant (NJF_KW_DOT=4d): contract in 4-D with two batch
+            # dims instead of reshaping to [B*R, ...]. Under the producer's
+            # {3,1,2,0} layout for kw, the [B,R,M,d]->[B*R,M,d] reshape is
+            # not a bitcast and XLA inserts a [7,256,88,384] copy x2/step
+            # (the r4 trace's epipolar-relayout family); batch dims carry
+            # no layout constraint, so the 4-D form lets XLA keep the
+            # producer layout. Measured in-program before adoption.
+            out = jax.lax.dot_general(
+                hat, kw,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            ).astype(kw.dtype).reshape(b, r * sn, d)
+        else:
+            out = jax.lax.dot_general(
+                hat.reshape(b * r, sn, m), kw.reshape(b * r, m, d),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(kw.dtype).reshape(b, r * sn, d)
         if bias is not None:
             # prefer passing the bias to the K7 tz kernel instead (adds in
             # VMEM); a broadcast add here costs a [N, d] HBM round-trip

@@ -160,3 +160,42 @@ def test_clip_segment():
     a, b = _clip_segment(p0, p0, 15.0, 10.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(p0))
     np.testing.assert_allclose(np.asarray(b), np.asarray(p0))
+
+def test_project_then_interp_dot_forms_match():
+    """The NJF_KW_DOT=4d contraction (two batch dims, no [B*R] reshape) must
+    be numerically identical to the default 2-D merged-batch dot AND to the
+    definitional concat() @ W form — value and gradients."""
+    import neural_jacobian_field_tpu.ops.epipolar as epi
+
+    key = jax.random.PRNGKey(0)
+    b, r, sn, d = 2, 3, 5, 7
+    ms, cs = (6, 4, 2), (8, 5, 3)
+    ks = [
+        jax.random.normal(jax.random.fold_in(key, i), (b, r, m, c), jnp.float32)
+        for i, (m, c) in enumerate(zip(ms, cs))
+    ]
+    ws = [
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (c, d), jnp.float32)
+        for i, c in enumerate(cs)
+    ]
+    s = jax.random.uniform(jax.random.fold_in(key, 20), (b, r, sn))
+    kf = epi.KnotFeatures(levels=tuple(ks), s=s)
+
+    def run(flag):
+        old = epi._KW_DOT_4D
+        epi._KW_DOT_4D = flag
+        try:
+            f = lambda levels: dataclasses.replace(kf, levels=levels).project_then_interp(ws)
+            val = f(tuple(ks))
+            grads = jax.grad(lambda levels: jnp.sum(jnp.sin(f(levels))))(tuple(ks))
+        finally:
+            epi._KW_DOT_4D = old
+        return val, grads
+
+    v2, g2 = run(False)
+    v4, g4 = run(True)
+    definitional = kf.concat() @ jnp.concatenate(ws, axis=0)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(definitional), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v4), np.asarray(v2), atol=1e-5)
+    for a, c in zip(g4, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
