@@ -40,7 +40,7 @@ SAMPLES = (256, 256)
 ACTION_DIM = 8
 
 
-def _emit(metric, value, unit, vs_baseline=None, spread=None):
+def _emit(metric, value, unit, vs_baseline=None, spread=None, mxu_ref=None):
     line = {"metric": metric, "value": round(float(value), 1), "unit": unit}
     if vs_baseline is not None:
         line["vs_baseline"] = round(float(vs_baseline), 3)
@@ -54,7 +54,43 @@ def _emit(metric, value, unit, vs_baseline=None, spread=None):
                          / float(np.median(spread)), 1),
             "n": len(spread),
         }
+    if mxu_ref is not None:
+        # chip-state witness (benchmarks/bimodality_probe.py): the query
+        # rate tracks raw MXU throughput at r=0.965 (and HBM at 0.072), so
+        # a swing in `value` that co-moves with mxu_ref_tflops is tunnel/
+        # chip clock state, not a code regression. Judge value/mxu ratio.
+        line["mxu_ref_tflops"] = {
+            "min": round(float(min(mxu_ref)), 1),
+            "median": round(float(np.median(mxu_ref)), 1),
+            "max": round(float(max(mxu_ref)), 1),
+        }
     print(json.dumps(line), flush=True)
+
+
+def _mxu_ref_chain():
+    """Build a tiny pure-MXU witness chain (bf16 2048^2 matmul scan).
+
+    Returns a () -> TFLOP/s closure, timed the same way as the benches
+    (scalar-pull sync). ~1.7 TFLOP per call => ~0.1 s on a healthy chip.
+    """
+    n, iters = 2048, 100
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return jnp.tanh(c @ c), None
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
+    x = jnp.asarray(np.random.RandomState(0).randn(n, n) * 0.01, jnp.bfloat16)
+    _sync(chain(x))  # compile + warm
+    flops = 2.0 * n ** 3 * iters
+
+    def measure():
+        t0 = time.perf_counter()
+        _sync(chain(x))
+        return flops / (time.perf_counter() - t0) / 1e12
+
+    return measure
 
 
 def _repeat_timed(run_sync, k, repeats=5):
